@@ -1,0 +1,20 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's trick of testing multi-worker behavior without a
+cluster via the in-memory runtime (reference README.md:7-11): we emulate an
+8-chip TPU slice with xla_force_host_platform_device_count so sharding /
+collective code paths compile and execute on one host.
+
+Must run before any jax import, hence top of conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
