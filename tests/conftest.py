@@ -10,7 +10,9 @@ Must run before any jax import, hence top of conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient env may point JAX at the (tunneled) TPU, but the
+# test suite must be hermetic, fast to compile, and able to emulate 8 devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
