@@ -41,7 +41,7 @@ _MDS = C.mds_matrix()  # (12, 12) uint64, entries < 2^7
 _RC = C.ALL_ROUND_CONSTANTS.reshape(C.N_ROUNDS, C.WIDTH)  # (30, 12) uint64
 
 
-_MDS_F32 = jnp.asarray(_MDS.astype(np.float32))  # entries < 2^6
+_MDS_F32 = _MDS.astype(np.float32)  # entries < 2^6; jnp-converted at trace time
 
 
 def _mds_layer(state: GF) -> GF:
@@ -61,7 +61,7 @@ def _mds_layer(state: GF) -> GF:
     )  # (8, 12, ...)
     prod = jnp.einsum(
         "ij,kj...->ki...",
-        _MDS_F32,
+        jnp.asarray(_MDS_F32),
         bytes_.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
