@@ -1,0 +1,489 @@
+"""STARK prover: trace commit -> [CTL aux] -> quotient -> DEEP -> FRI.
+
+Reference equivalent: starky's `prove` + cross-table-lookup machinery
+(stark_proof.rs, cross_table_lookup.rs) [dep: from knowledge; pin
+/root/reference/Cargo.lock:4529], re-architected for TPU (SURVEY.md §3.5):
+
+- column iNTT + coset LDE: one batched transform over the whole trace
+- Merkle caps: leaf rows are all columns at one LDE point
+- constraint sweep: the table's `eval` (+ engine-injected CTL constraints)
+  traced ONCE by XLA over the full LDE domain
+- CTL Z-columns: grand products via `lax.associative_scan` — log-depth
+  parallel prefix instead of a sequential row loop
+- openings at zeta / g*zeta: base-field dot products against the device-
+  computed power ladder of the extension point
+- FRI on the DEEP composition; every oracle tree opened at the FRI query
+  indices with Merkle paths
+
+Transcript convention (verifier mirrors exactly):
+  observe(public_inputs, degree_bits) -> observe(trace cap) ->
+  [observe(aux cap) -> observe(ctl totals)] ->
+  alphas (num_challenges base) -> observe(quotient cap) -> zeta (ext) ->
+  observe(openings) -> fri_alpha (ext) -> FRI transcript.
+CTL challenges are NOT drawn here — they are bound into `ctl_instances`
+by the caller (the multi-table orchestrator draws them after observing
+every table's trace cap; see multi.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gf import extension as gf2x
+from ..gf import field as gfp
+from ..gf import field_host as fh
+from ..gf.extension import GF2
+from ..gf.field import GF
+from ..hash import merkle
+from ..poly import ntt as nttm
+from ..fri.challenger import Challenger
+from ..fri.config import StarkConfig
+from ..fri.prove import FriProof, fri_prove, _scalar_gf
+from .stark import (
+    ConstraintConsumer,
+    CtlInstance,
+    DeviceOps,
+    EvalContext,
+    Stark,
+    eval_ctl_constraints,
+)
+
+P = fh.P
+
+
+@dataclass
+class TreeOpenings:
+    """Openings of one oracle tree at the FRI query indices."""
+
+    values: np.ndarray  # (num_q, num_rows) u64 — leaf rows at each index
+    paths: np.ndarray  # (num_q, path_len, 4) u64
+
+
+@dataclass
+class StarkOpenings:
+    trace_at_zeta: np.ndarray  # (cols, 2) u64 ext
+    trace_at_gzeta: np.ndarray  # (cols, 2)
+    aux_at_zeta: np.ndarray  # (num_ctl_instances, 2)
+    aux_at_gzeta: np.ndarray  # (num_ctl_instances, 2)
+    quotient_at_zeta: np.ndarray  # (num_challenges * chunks, 2)
+
+    def transcript_elements(self) -> List[int]:
+        out: List[int] = []
+        for arr in (
+            self.trace_at_zeta,
+            self.trace_at_gzeta,
+            self.aux_at_zeta,
+            self.aux_at_gzeta,
+            self.quotient_at_zeta,
+        ):
+            out.extend(int(v) for v in np.asarray(arr, dtype=np.uint64).ravel())
+        return out
+
+
+@dataclass
+class StarkProof:
+    degree_bits: int
+    public_inputs: List[int]
+    trace_cap: np.ndarray  # (4, 2^cap_height) u64
+    aux_cap: Optional[np.ndarray]
+    quotient_cap: np.ndarray
+    ctl_totals: List[int]  # one per CtlInstance (base field)
+    openings: StarkOpenings
+    fri_proof: FriProof
+    trace_query_openings: TreeOpenings
+    aux_query_openings: Optional[TreeOpenings]
+    quotient_query_openings: TreeOpenings
+
+
+# -- device helpers ----------------------------------------------------------
+
+
+def gf_sum(a: GF, axis: int = -1) -> GF:
+    """Modular sum along the last axis via log-halving adds."""
+    assert axis == -1
+    n = a.lo.shape[-1]
+    assert n & (n - 1) == 0
+    while n > 1:
+        half = n // 2
+        a = gfp.add(
+            GF(a.lo[..., :half], a.hi[..., :half]),
+            GF(a.lo[..., half:], a.hi[..., half:]),
+        )
+        n = half
+    return GF(a.lo[..., 0], a.hi[..., 0])
+
+
+def ext_powers(point: Tuple[int, int], n: int) -> GF2:
+    """[1, z, ..., z^(n-1)] on device by log-doubling in GF(p^2)."""
+    p = GF2(gfp.ones((1,)), gfp.zeros((1,)))
+    acc = GF2(_scalar_gf(point[0]), _scalar_gf(point[1]))
+    length = 1
+    while length < n:
+        acc_b = GF2(
+            GF(jnp.broadcast_to(acc.a.lo, (length,)), jnp.broadcast_to(acc.a.hi, (length,))),
+            GF(jnp.broadcast_to(acc.b.lo, (length,)), jnp.broadcast_to(acc.b.hi, (length,))),
+        )
+        nxt = gf2x.mul(p, acc_b)
+        p = GF2(gfp.concatenate([p.a, nxt.a]), gfp.concatenate([p.b, nxt.b]))
+        acc = gf2x.mul(acc, acc)
+        length *= 2
+    return p
+
+
+def eval_at_ext_point(coeffs: GF, point: Tuple[int, int]) -> np.ndarray:
+    """Evaluate polys (cols, n) at an extension point -> (cols, 2) u64.
+
+    p(z) = sum_j c_j z^j — two base-field dot products against the power
+    ladder components.
+    """
+    if coeffs.lo.shape[0] == 0:
+        return np.zeros((0, 2), dtype=np.uint64)
+    n = coeffs.lo.shape[-1]
+    pws = ext_powers(point, n)
+    ra = gf_sum(gfp.mul(coeffs, pws.a))
+    rb = gf_sum(gfp.mul(coeffs, pws.b))
+    return np.stack([gfp.to_u64(ra), gfp.to_u64(rb)], axis=-1)
+
+
+def _domain_points(log_m: int, shift: int) -> GF:
+    w = fh.primitive_root_of_unity(log_m)
+    return gfp.mul(nttm.powers(_scalar_gf(w), 1 << log_m), _scalar_gf(shift))
+
+
+def _zh_values(log_n: int, rate_bits: int, shift: int) -> GF:
+    """Z_H(x) = x^n - 1 over the LDE coset — period-2^rate_bits pattern."""
+    n = 1 << log_n
+    m = n << rate_bits
+    u = fh.exp(fh.primitive_root_of_unity(log_n + rate_bits), n)
+    sn = fh.exp(shift, n)
+    base = nttm.powers(_scalar_gf(u), 1 << rate_bits)
+    zh_short = gfp.sub(gfp.mul(base, _scalar_gf(sn)), gfp.ones((1 << rate_bits,)))
+    reps = m >> rate_bits
+    return GF(jnp.tile(zh_short.lo, reps), jnp.tile(zh_short.hi, reps))
+
+
+def _roll_cols(a: GF, k: int) -> GF:
+    """next-row view: rotate the domain axis left by k (g_H step = rate)."""
+    return GF(jnp.roll(a.lo, -k, axis=-1), jnp.roll(a.hi, -k, axis=-1))
+
+
+def _rows(a: GF) -> List[GF]:
+    return [GF(a.lo[i], a.hi[i]) for i in range(a.lo.shape[0])]
+
+
+def _open_tree(tree, rows: GF, idx) -> TreeOpenings:
+    vals = gfp.to_u64(GF(rows.lo[:, idx], rows.hi[:, idx]))  # (rows, q)
+    paths = np.transpose(gfp.to_u64(merkle.open_path(tree, idx)), (2, 0, 1))
+    return TreeOpenings(values=np.transpose(vals), paths=paths)
+
+
+# -- CTL aux columns ---------------------------------------------------------
+
+
+def _ctl_z_columns(trace_gf: GF, instances: List[CtlInstance]) -> GF:
+    """Z columns (num_instances, n): running products of ctl factors."""
+    cols = _rows(trace_gf)
+    n = trace_gf.lo.shape[-1]
+    factors = []
+    for inst in instances:
+        acc = gfp.full((n,), inst.gamma)
+        b = 1
+        for j in inst.spec.columns:
+            acc = gfp.add(acc, gfp.mul_const(cols[j], b))
+            b = b * inst.beta % P
+        if inst.spec.filter_col is not None:
+            f = cols[inst.spec.filter_col]
+            acc = gfp.add(gfp.mul(f, gfp.sub(acc, gfp.ones((n,)))), gfp.ones((n,)))
+        factors.append(acc)
+    fstack = gfp.stack(factors)  # (k, n)
+    return jax.lax.associative_scan(gfp.mul, fstack, axis=1)
+
+
+# -- prover ------------------------------------------------------------------
+
+
+def stark_prove(
+    stark: Stark,
+    trace: np.ndarray,  # (num_columns, n) u64
+    public_inputs: List[int],
+    config: StarkConfig,
+    challenger: Optional[Challenger] = None,
+    ctl_instances: Optional[List[CtlInstance]] = None,
+) -> StarkProof:
+    fri_cfg = config.fri_config
+    cols, n = trace.shape
+    assert cols == stark.num_columns
+    assert len(public_inputs) == stark.num_public_inputs
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    rate_bits = fri_cfg.rate_bits
+    shift = fri_cfg.coset_shift
+    instances = ctl_instances or []
+
+    if challenger is None:
+        challenger = Challenger()
+    challenger.observe_elements([x % P for x in public_inputs])
+    challenger.observe_element(log_n)
+
+    # 1. trace commit
+    trace_gf = gfp.from_u64(trace)
+    trace_coeffs = nttm.intt(trace_gf)
+    trace_lde = nttm.coset_lde(trace_coeffs, rate_bits, shift)
+    trace_tree = merkle.build(trace_lde, fri_cfg.cap_height)
+    trace_cap = gfp.to_u64(trace_tree.cap)
+    challenger.observe_cap(trace_cap)
+
+    # 2. CTL aux commit
+    aux_tree = aux_lde = aux_coeffs = None
+    aux_cap = None
+    ctl_totals: List[int] = []
+    if instances:
+        z_cols = _ctl_z_columns(trace_gf, instances)  # (k, n)
+        ctl_totals = [int(v) for v in gfp.to_u64(GF(z_cols.lo[:, -1], z_cols.hi[:, -1]))]
+        aux_coeffs = nttm.intt(z_cols)
+        aux_lde = nttm.coset_lde(aux_coeffs, rate_bits, shift)
+        aux_tree = merkle.build(aux_lde, fri_cfg.cap_height)
+        aux_cap = gfp.to_u64(aux_tree.cap)
+        challenger.observe_cap(aux_cap)
+        challenger.observe_elements(ctl_totals)
+
+    # 3. constraint sweep -> quotient
+    alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
+    quotient_lde, quotient_tree = _compute_quotient(
+        stark, trace_lde, aux_lde, instances, ctl_totals, public_inputs,
+        alphas, log_n, rate_bits, shift, fri_cfg,
+    )
+    quotient_cap = gfp.to_u64(quotient_tree.cap)
+    challenger.observe_cap(quotient_cap)
+
+    # 4. openings at zeta / g*zeta
+    zeta = challenger.get_extension_challenge()
+    g_h = fh.primitive_root_of_unity(log_n)
+    gzeta = (zeta[0] * g_h % P, zeta[1] * g_h % P)
+    quotient_coeffs = nttm.coset_intt(quotient_lde, shift)
+    empty = GF(jnp.zeros((0, n), dtype=jnp.uint32), jnp.zeros((0, n), dtype=jnp.uint32))
+    aux_c = aux_coeffs if aux_coeffs is not None else empty
+    openings = StarkOpenings(
+        trace_at_zeta=eval_at_ext_point(trace_coeffs, zeta),
+        trace_at_gzeta=eval_at_ext_point(trace_coeffs, gzeta),
+        aux_at_zeta=eval_at_ext_point(aux_c, zeta),
+        aux_at_gzeta=eval_at_ext_point(aux_c, gzeta),
+        quotient_at_zeta=eval_at_ext_point(
+            GF(quotient_coeffs.lo[:, :n], quotient_coeffs.hi[:, :n]), zeta
+        ),
+    )
+    challenger.observe_elements(openings.transcript_elements())
+
+    # 5. DEEP composition codeword
+    fri_alpha = challenger.get_extension_challenge()
+    comp = _deep_composition(
+        trace_lde, aux_lde, quotient_lde, openings, zeta, gzeta, fri_alpha,
+        log_n, rate_bits, shift,
+    )
+
+    # 6. FRI + oracle query openings
+    fri_proof = fri_prove(comp, log_n, fri_cfg, challenger)
+    idx = jnp.asarray(fri_proof.query_indices)
+    return StarkProof(
+        degree_bits=log_n,
+        public_inputs=list(public_inputs),
+        trace_cap=trace_cap,
+        aux_cap=aux_cap,
+        quotient_cap=quotient_cap,
+        ctl_totals=ctl_totals,
+        openings=openings,
+        fri_proof=fri_proof,
+        trace_query_openings=_open_tree(trace_tree, trace_lde, idx),
+        aux_query_openings=(
+            _open_tree(aux_tree, aux_lde, idx) if aux_tree is not None else None
+        ),
+        quotient_query_openings=_open_tree(quotient_tree, quotient_lde, idx),
+    )
+
+
+def _compute_quotient(
+    stark: Stark,
+    trace_lde: GF,
+    aux_lde: Optional[GF],
+    instances: List[CtlInstance],
+    ctl_totals: List[int],
+    public_inputs: List[int],
+    alphas: List[int],
+    log_n: int,
+    rate_bits: int,
+    shift: int,
+    fri_cfg,
+):
+    n = 1 << log_n
+    m = n << rate_bits
+    rate = 1 << rate_bits
+
+    xs = _domain_points(log_n + rate_bits, shift)
+    zh = _zh_values(log_n, rate_bits, shift)
+    g_h = fh.primitive_root_of_unity(log_n)
+    g_last = fh.inv(g_h)  # g^(n-1)
+    n_inv = fh.inv(n)
+    z_last = gfp.sub(xs, _scalar_gf(g_last))
+    l_first = gfp.mul(
+        gfp.mul(zh, gfp.inv(gfp.sub(xs, _scalar_gf(1)))), _scalar_gf(n_inv)
+    )
+    l_last = gfp.mul(gfp.mul(zh, gfp.inv(z_last)), _scalar_gf(g_last * n_inv % P))
+
+    ops = DeviceOps((m,))
+    local = _rows(trace_lde)
+    nxt = _rows(_roll_cols(trace_lde, rate))
+    pis = [ops.constant(int(x)) for x in public_inputs]
+    alpha_vals = [ops.constant(a) for a in alphas]
+    consumer = ConstraintConsumer(ops, alpha_vals, z_last, l_first, l_last)
+    ctx = EvalContext(ops, local, nxt, pis, consumer)
+    stark.eval(ctx)
+    if instances:
+        local_zs = _rows(aux_lde)
+        next_zs = _rows(_roll_cols(aux_lde, rate))
+        eval_ctl_constraints(
+            ops, consumer, local, nxt, local_zs, next_zs, instances, ctl_totals
+        )
+
+    zh_inv = gfp.inv(zh)
+    chunks = stark.quotient_chunks(bool(instances))
+    q_rows_lo, q_rows_hi = [], []
+    for acc in consumer.accs:
+        q_evals = gfp.mul(acc, zh_inv)
+        q_coeffs = nttm.coset_intt(q_evals, shift)
+        for c in range(chunks):
+            chunk = GF(
+                q_coeffs.lo[c * n : (c + 1) * n], q_coeffs.hi[c * n : (c + 1) * n]
+            )
+            chunk_lde = nttm.coset_lde(chunk, rate_bits, shift)
+            q_rows_lo.append(chunk_lde.lo)
+            q_rows_hi.append(chunk_lde.hi)
+    quotient_lde = GF(jnp.stack(q_rows_lo), jnp.stack(q_rows_hi))
+    quotient_tree = merkle.build(quotient_lde, fri_cfg.cap_height)
+    return quotient_lde, quotient_tree
+
+
+def _ext_const_rows(x: Tuple[int, int], m: int) -> GF2:
+    return GF2(
+        GF(jnp.full((m,), x[0] & 0xFFFFFFFF, dtype=jnp.uint32),
+           jnp.full((m,), x[0] >> 32, dtype=jnp.uint32)),
+        GF(jnp.full((m,), x[1] & 0xFFFFFFFF, dtype=jnp.uint32),
+           jnp.full((m,), x[1] >> 32, dtype=jnp.uint32)),
+    )
+
+
+def _sum_rows(a: GF) -> GF:
+    """Sum over axis 0 with modular adds (handles odd counts)."""
+    k = a.lo.shape[0]
+    while k > 1:
+        half = k // 2
+        s = gfp.add(GF(a.lo[:half], a.hi[:half]), GF(a.lo[half : 2 * half], a.hi[half : 2 * half]))
+        if k & 1:
+            s = GF(
+                jnp.concatenate([s.lo, a.lo[-1:]]),
+                jnp.concatenate([s.hi, a.hi[-1:]]),
+            )
+            k = half + 1
+        else:
+            k = half
+        a = s
+    return GF(a.lo[0], a.hi[0])
+
+
+def _batch_combine(rows: GF, weights: List[Tuple[int, int]]) -> GF2:
+    """sum_j w_j * rows_j over base rows (k, m) with ext weights -> (m,) ext."""
+    wa = gfp.gf([w[0] for w in weights])
+    wb = gfp.gf([w[1] for w in weights])
+    wa_b = GF(wa.lo[:, None], wa.hi[:, None])
+    wb_b = GF(wb.lo[:, None], wb.hi[:, None])
+    return GF2(_sum_rows(gfp.mul(rows, wa_b)), _sum_rows(gfp.mul(rows, wb_b)))
+
+
+def _ext_host_mul(x, y):
+    return (
+        (x[0] * y[0] + 7 * x[1] * y[1]) % P,
+        (x[0] * y[1] + x[1] * y[0]) % P,
+    )
+
+
+def _weighted_ext_sum(weights, ys):
+    acc = (0, 0)
+    for w, y in zip(weights, ys):
+        t = _ext_host_mul(w, y)
+        acc = ((acc[0] + t[0]) % P, (acc[1] + t[1]) % P)
+    return acc
+
+
+def _deep_composition(
+    trace_lde: GF,
+    aux_lde: Optional[GF],
+    quotient_lde: GF,
+    openings: StarkOpenings,
+    zeta,
+    gzeta,
+    fri_alpha,
+    log_n: int,
+    rate_bits: int,
+    shift: int,
+) -> GF2:
+    """comp(x) = (B0(x)-y0)/(x-zeta) + (B1(x)-y1)/(x-g*zeta).
+
+    batch0 (opened at zeta): trace + aux + quotient rows, weights a^0..;
+    batch1 (opened at g*zeta): trace + aux rows, weights continue a^K...
+    """
+    m = 1 << (log_n + rate_bits)
+    xs = _domain_points(log_n + rate_bits, shift)
+
+    if aux_lde is not None:
+        b0_rows = GF(
+            jnp.concatenate([trace_lde.lo, aux_lde.lo, quotient_lde.lo]),
+            jnp.concatenate([trace_lde.hi, aux_lde.hi, quotient_lde.hi]),
+        )
+        b1_rows = GF(
+            jnp.concatenate([trace_lde.lo, aux_lde.lo]),
+            jnp.concatenate([trace_lde.hi, aux_lde.hi]),
+        )
+        open0 = [
+            (int(v[0]), int(v[1]))
+            for v in list(openings.trace_at_zeta)
+            + list(openings.aux_at_zeta)
+            + list(openings.quotient_at_zeta)
+        ]
+        open1 = [
+            (int(v[0]), int(v[1]))
+            for v in list(openings.trace_at_gzeta) + list(openings.aux_at_gzeta)
+        ]
+    else:
+        b0_rows = GF(
+            jnp.concatenate([trace_lde.lo, quotient_lde.lo]),
+            jnp.concatenate([trace_lde.hi, quotient_lde.hi]),
+        )
+        b1_rows = trace_lde
+        open0 = [
+            (int(v[0]), int(v[1]))
+            for v in list(openings.trace_at_zeta) + list(openings.quotient_at_zeta)
+        ]
+        open1 = [(int(v[0]), int(v[1])) for v in openings.trace_at_gzeta]
+
+    K = b0_rows.lo.shape[0]
+    L = b1_rows.lo.shape[0]
+    a_pows = [(1, 0)]
+    for _ in range(K + L - 1):
+        a_pows.append(_ext_host_mul(a_pows[-1], fri_alpha))
+
+    b0 = _batch_combine(b0_rows, a_pows[:K])
+    y0 = _weighted_ext_sum(a_pows[:K], open0)
+    b1 = _batch_combine(b1_rows, a_pows[K:])
+    y1 = _weighted_ext_sum(a_pows[K:], open1)
+
+    num0 = gf2x.sub(b0, _ext_const_rows(y0, m))
+    num1 = gf2x.sub(b1, _ext_const_rows(y1, m))
+    den0 = gf2x.sub(GF2(xs, gfp.zeros((m,))), _ext_const_rows(zeta, m))
+    den1 = gf2x.sub(GF2(xs, gfp.zeros((m,))), _ext_const_rows(gzeta, m))
+    t0 = gf2x.mul(num0, gf2x.inv(den0))
+    t1 = gf2x.mul(num1, gf2x.inv(den1))
+    return gf2x.add(t0, t1)

@@ -1,0 +1,194 @@
+"""STARK verifier — host-side, exact python-int arithmetic.
+
+Reference equivalent: starky's `verify_stark_proof` + CTL verification
+[dep: from knowledge; pin /root/reference/Cargo.lock:4529]. Checks:
+
+1. transcript replay (identical observation order to stark_prove)
+2. the constraint identity at zeta — running the SAME `Stark.eval` (and
+   the same engine-injected CTL constraints) the prover traced on device,
+   but on host extension scalars
+3. FRI verification of the DEEP composition codeword
+4. per-query: Merkle paths of the trace/aux/quotient oracles and
+   recomputation of the composition value from the opened leaves
+
+Cross-table total consistency (prod looking == looked) is checked by the
+multi-table orchestrator (multi.py), which owns the global CTL structure.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..gf import field_host as fh
+from ..fri.challenger import Challenger
+from ..fri.config import StarkConfig
+from ..fri.verify import _verify_merkle, ext_add, ext_mul, ext_sub, fri_verify
+from .prove import StarkProof
+from .stark import (
+    ConstraintConsumer,
+    CtlInstance,
+    EvalContext,
+    HostExtOps,
+    Stark,
+    eval_ctl_constraints,
+)
+
+P = fh.P
+Ext = Tuple[int, int]
+
+
+def ext_inv(x: Ext) -> Ext:
+    norm = (x[0] * x[0] - 7 * x[1] * x[1]) % P
+    ni = fh.inv(norm)
+    return (x[0] * ni % P, (-x[1]) * ni % P)
+
+
+def _ext_pow(x: Ext, e: int) -> Ext:
+    r: Ext = (1, 0)
+    b = x
+    while e:
+        if e & 1:
+            r = ext_mul(r, b)
+        e >>= 1
+        if e:
+            b = ext_mul(b, b)
+    return r
+
+
+def _pairs(arr: np.ndarray) -> List[Ext]:
+    return [(int(v[0]), int(v[1])) for v in arr]
+
+
+def stark_verify(
+    stark: Stark,
+    proof: StarkProof,
+    config: StarkConfig,
+    challenger: Optional[Challenger] = None,
+    ctl_instances: Optional[List[CtlInstance]] = None,
+) -> bool:
+    fri_cfg = config.fri_config
+    log_n = proof.degree_bits
+    n = 1 << log_n
+    rate_bits = fri_cfg.rate_bits
+    shift = fri_cfg.coset_shift
+    cols = stark.num_columns
+    instances = ctl_instances or []
+    k_ctl = len(instances)
+    chunks = stark.quotient_chunks(bool(instances))
+
+    if challenger is None:
+        challenger = Challenger()
+
+    # --- transcript replay ---
+    if len(proof.public_inputs) != stark.num_public_inputs:
+        return False
+    challenger.observe_elements([x % P for x in proof.public_inputs])
+    challenger.observe_element(log_n)
+    challenger.observe_cap(proof.trace_cap)
+    if instances:
+        if proof.aux_cap is None or len(proof.ctl_totals) != k_ctl:
+            return False
+        challenger.observe_cap(proof.aux_cap)
+        challenger.observe_elements(proof.ctl_totals)
+    elif proof.aux_cap is not None or proof.ctl_totals:
+        return False
+    alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
+    challenger.observe_cap(proof.quotient_cap)
+    zeta = challenger.get_extension_challenge()
+    g_h = fh.primitive_root_of_unity(log_n)
+    challenger.observe_elements(proof.openings.transcript_elements())
+    fri_alpha = challenger.get_extension_challenge()
+
+    o = proof.openings
+    if o.trace_at_zeta.shape != (cols, 2) or o.trace_at_gzeta.shape != (cols, 2):
+        return False
+    if o.aux_at_zeta.shape != (k_ctl, 2) or o.aux_at_gzeta.shape != (k_ctl, 2):
+        return False
+    if o.quotient_at_zeta.shape != (config.num_challenges * chunks, 2):
+        return False
+
+    # --- 2. constraint identity at zeta ---
+    ops = HostExtOps()
+    zeta_n = _ext_pow(zeta, n)
+    zh = ext_sub(zeta_n, (1, 0))
+    g_last = fh.inv(g_h)
+    n_inv = fh.inv(n)
+    z_last = ext_sub(zeta, (g_last, 0))
+    l_first = ext_mul(ext_mul(zh, ext_inv(ext_sub(zeta, (1, 0)))), (n_inv, 0))
+    l_last = ext_mul(ext_mul(zh, ext_inv(z_last)), (g_last * n_inv % P, 0))
+    local = _pairs(o.trace_at_zeta)
+    nxt = _pairs(o.trace_at_gzeta)
+    pis = [ops.constant(int(x)) for x in proof.public_inputs]
+    alpha_vals = [ops.constant(a) for a in alphas]
+    consumer = ConstraintConsumer(ops, alpha_vals, z_last, l_first, l_last)
+    ctx = EvalContext(ops, local, nxt, pis, consumer)
+    stark.eval(ctx)
+    if instances:
+        eval_ctl_constraints(
+            ops, consumer, local, nxt,
+            _pairs(o.aux_at_zeta), _pairs(o.aux_at_gzeta),
+            instances, proof.ctl_totals,
+        )
+    for ai in range(config.num_challenges):
+        q: Ext = (0, 0)
+        zpow: Ext = (1, 0)
+        for c in range(chunks):
+            y = o.quotient_at_zeta[ai * chunks + c]
+            q = ext_add(q, ext_mul(zpow, (int(y[0]), int(y[1]))))
+            zpow = ext_mul(zpow, zeta_n)
+        if consumer.accs[ai] != ext_mul(zh, q):
+            return False
+
+    # --- 3. FRI on the composition ---
+    ok, round0 = fri_verify(proof.fri_proof, fri_cfg, challenger)
+    if not ok or proof.fri_proof.degree_bits != log_n:
+        return False
+
+    # --- 4. bind FRI round-0 to the oracle trees ---
+    num_q = fri_cfg.num_query_rounds
+    tq, qq, aq = proof.trace_query_openings, proof.quotient_query_openings, proof.aux_query_openings
+    if tq.values.shape != (num_q, cols):
+        return False
+    if qq.values.shape != (num_q, config.num_challenges * chunks):
+        return False
+    if instances and (aq is None or aq.values.shape != (num_q, k_ctl)):
+        return False
+    gzeta = (zeta[0] * g_h % P, zeta[1] * g_h % P)
+    w = fh.primitive_root_of_unity(log_n + rate_bits)
+    open0 = _pairs(o.trace_at_zeta) + _pairs(o.aux_at_zeta) + _pairs(o.quotient_at_zeta)
+    open1 = _pairs(o.trace_at_gzeta) + _pairs(o.aux_at_gzeta)
+    K, L = len(open0), len(open1)
+    a_pows: List[Ext] = [(1, 0)]
+    for _ in range(K + L - 1):
+        a_pows.append(ext_mul(a_pows[-1], fri_alpha))
+    y0 = (0, 0)
+    for wgt, y in zip(a_pows[:K], open0):
+        y0 = ext_add(y0, ext_mul(wgt, y))
+    y1 = (0, 0)
+    for wgt, y in zip(a_pows[K:], open1):
+        y1 = ext_add(y1, ext_mul(wgt, y))
+
+    for q, (idx, comp_val) in enumerate(round0):
+        t_leaf = [int(v) for v in tq.values[q]]
+        q_leaf = [int(v) for v in qq.values[q]]
+        a_leaf = [int(v) for v in aq.values[q]] if instances else []
+        if not _verify_merkle(t_leaf, idx, tq.paths[q], proof.trace_cap):
+            return False
+        if not _verify_merkle(q_leaf, idx, qq.paths[q], proof.quotient_cap):
+            return False
+        if instances and not _verify_merkle(a_leaf, idx, aq.paths[q], proof.aux_cap):
+            return False
+        x = shift * pow(w, idx, P) % P
+        b0: Ext = (0, 0)
+        for wgt, v in zip(a_pows[:K], t_leaf + a_leaf + q_leaf):
+            b0 = ext_add(b0, ext_mul(wgt, (v, 0)))
+        b1: Ext = (0, 0)
+        for wgt, v in zip(a_pows[K:], t_leaf + a_leaf):
+            b1 = ext_add(b1, ext_mul(wgt, (v, 0)))
+        c0 = ext_mul(ext_sub(b0, y0), ext_inv(ext_sub((x, 0), zeta)))
+        c1 = ext_mul(ext_sub(b1, y1), ext_inv(ext_sub((x, 0), gzeta)))
+        if ext_add(c0, c1) != comp_val:
+            return False
+    return True

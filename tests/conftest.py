@@ -10,8 +10,10 @@ Must run before any jax import, hence top of conftest.
 
 import os
 
-# Force CPU: the ambient env may point JAX at the (tunneled) TPU, but the
-# test suite must be hermetic, fast to compile, and able to emulate 8 devices.
+# Force CPU: the ambient env points JAX at a (tunneled) TPU via a
+# sitecustomize-registered plugin that IGNORES the JAX_PLATFORMS env var, so
+# the config API is the only reliable override. The test suite must be
+# hermetic, fast to compile, and able to emulate 8 devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -20,3 +22,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the kernels compile big uint32 graphs;
+# caching across pytest processes turns ~30s per distinct shape into ~ms.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ethproof_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
