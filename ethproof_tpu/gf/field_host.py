@@ -65,6 +65,42 @@ def roots_of_unity(n_log: int) -> list[int]:
     return out
 
 
+def ntt_host(vals: list[int], inverse: bool = False) -> list[int]:
+    """Iterative radix-2 NTT over H (python ints, O(n log n)).
+
+    Used by the STARK verifier to turn fixed-column values into
+    coefficients once per (table, n) — small n, host-exact.
+    """
+    n = len(vals)
+    assert n & (n - 1) == 0
+    log_n = n.bit_length() - 1
+    a = list(vals)
+    # bit-reverse
+    for i in range(n):
+        r = 0
+        for b in range(log_n):
+            r = (r << 1) | ((i >> b) & 1)
+        if i < r:
+            a[i], a[r] = a[r], a[i]
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        w_m = primitive_root_of_unity(s)
+        if inverse:
+            w_m = inv(w_m)
+        for start in range(0, n, m):
+            w = 1
+            for j in range(m // 2):
+                t = w * a[start + j + m // 2] % P
+                u = a[start + j]
+                a[start + j] = (u + t) % P
+                a[start + j + m // 2] = (u - t) % P
+                w = w * w_m % P
+    if inverse:
+        n_inv = inv(n)
+        a = [x * n_inv % P for x in a]
+    return a
+
+
 def to_u32_pairs(vals, reduce: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """int sequence / uint64 ndarray -> (lo, hi) uint32 ndarrays.
 

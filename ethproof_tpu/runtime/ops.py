@@ -1,0 +1,213 @@
+"""Proving operations: TxProof -> AggProof -> BlockProof algebra.
+
+Reference equivalent: /root/reference/ops/src/lib.rs — `TxProof`
+(Operation over GenerationInputs), `AggProof` (Monoid combine), and
+`BlockProof` (agg + optional parent chaining). The aggregation is a
+binary tree over ADJACENT payloads; continuity of (txn number, gas,
+state root) across the seam is what the reference's aggregation circuit
+enforces on public values [dep: from knowledge] and what `combine`
+checks here. Round-1 proofs are structural bundles (each leaf remains
+independently verifiable); succinct recursive aggregation is the roadmap
+(SURVEY.md §7 hard part #1).
+
+Padding dummies (signed_txn=None) become `DummyProof`s — their no-op
+claim (or withdrawal credit, for the final payload) is host-checked
+against the witness tries, mirroring create_dummy_gen_input invariants
+(/root/reference/leader/src/padding_and_withdrawals.rs:170-178).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
+
+from ..evm.transfer import TxProof, prove_transfer, verify_transfer
+from ..fri.config import StarkConfig
+from ..hash.keccak import keccak256
+from ..tables.all import TableSizes
+from ..trie.nibbles import Nibbles
+from ..witness.mpt import decode_account, encode_account
+from ..witness.types import GenerationInputs
+from .tracing import span
+
+
+class FatalError(Exception):
+    """Deterministic failure — do not retry (reference ops/src/lib.rs:52)."""
+
+
+@dataclass
+class DummyProof:
+    gen_inputs: GenerationInputs
+
+
+@dataclass
+class AggProof:
+    left: "AggregatableProof"
+    right: "AggregatableProof"
+    txn_number_before: int
+    txn_number_after: int
+    gas_used_before: int
+    gas_used_after: int
+    state_root_before: bytes
+    state_root_after: bytes
+
+
+AggregatableProof = Union[TxProof, DummyProof, AggProof]
+
+
+@dataclass
+class GeneratedBlockProof:
+    block_number: int
+    state_root_before: bytes
+    state_root_after: bytes
+    agg: AggProof
+    parent: Optional["GeneratedBlockProof"] = None
+
+
+def public_data(p: AggregatableProof) -> Tuple[int, int, int, int, bytes, bytes]:
+    """(txn_before, txn_after, gas_before, gas_after, root_before, root_after)."""
+    if isinstance(p, AggProof):
+        return (
+            p.txn_number_before,
+            p.txn_number_after,
+            p.gas_used_before,
+            p.gas_used_after,
+            p.state_root_before,
+            p.state_root_after,
+        )
+    gi = p.gen_inputs
+    is_tx = gi.signed_txn is not None
+    return (
+        gi.txn_number_before,
+        gi.txn_number_before + (1 if is_tx else 0),
+        gi.gas_used_before,
+        gi.gas_used_after,
+        gi.tries.state_trie.hash(),
+        gi.trie_roots_after.state_root,
+    )
+
+
+# -- operations (reference ops/src/lib.rs:29-101) ----------------------------
+
+
+def tx_proof(
+    gi: GenerationInputs,
+    config: StarkConfig,
+    sizes: Optional[TableSizes] = None,
+) -> AggregatableProof:
+    label = (
+        "0x" + keccak256(gi.signed_txn).hex()[:16] if gi.signed_txn else "Dummy"
+    )
+    with span("p_gen", tx=label):
+        if gi.signed_txn is None:
+            return DummyProof(gen_inputs=gi)
+        try:
+            return prove_transfer(gi, config, sizes)
+        except (AssertionError, NotImplementedError, ValueError) as e:
+            raise FatalError(f"txn proof failed for {label}: {e}") from e
+
+
+def agg_combine(a: AggregatableProof, b: AggregatableProof) -> AggProof:
+    """The Monoid combine; `empty` is deliberately absent — padding
+    guarantees >= 2 leaves (reference ops/src/lib.rs:78-81)."""
+    with span("p_agg"):
+        (tb0, ta0, gb0, ga0, rb0, ra0) = public_data(a)
+        (tb1, ta1, gb1, ga1, rb1, ra1) = public_data(b)
+        if ta0 != tb1 or ga0 != gb1 or ra0 != rb1:
+            raise FatalError("aggregation seam mismatch (txn/gas/root chain)")
+        return AggProof(
+            left=a,
+            right=b,
+            txn_number_before=tb0,
+            txn_number_after=ta1,
+            gas_used_before=gb0,
+            gas_used_after=ga1,
+            state_root_before=rb0,
+            state_root_after=ra1,
+        )
+
+
+def block_proof(
+    agg: AggProof,
+    prev: Optional[GeneratedBlockProof] = None,
+) -> GeneratedBlockProof:
+    with span("p_block"):
+        gi = _leftmost_inputs(agg)
+        if prev is not None and prev.state_root_after != agg.state_root_before:
+            raise FatalError("parent block proof does not chain")
+        return GeneratedBlockProof(
+            block_number=gi.block_metadata.block_number,
+            state_root_before=agg.state_root_before,
+            state_root_after=agg.state_root_after,
+            agg=agg,
+            parent=prev,
+        )
+
+
+def _leftmost_inputs(p: AggregatableProof) -> GenerationInputs:
+    while isinstance(p, AggProof):
+        p = p.left
+    return p.gen_inputs
+
+
+# -- verification ------------------------------------------------------------
+
+
+def verify_dummy(p: DummyProof) -> bool:
+    gi = p.gen_inputs
+    if gi.signed_txn is not None:
+        return False
+    if gi.gas_used_before != gi.gas_used_after:
+        return False
+    state = gi.tries.state_trie
+    if not gi.withdrawals:
+        return state.hash() == gi.trie_roots_after.state_root
+    # withdrawal dummy: credit balances, then roots must match
+    st = state.copy()
+    for addr, amt in gi.withdrawals:
+        key = Nibbles.from_bytes(keccak256(addr))
+        raw = st.get(key)
+        if raw is None:
+            return False
+        acc = decode_account(raw)
+        acc["balance"] += amt
+        st.insert(key, encode_account(acc))
+    return st.hash() == gi.trie_roots_after.state_root
+
+
+def verify_aggregatable(p: AggregatableProof, config: StarkConfig) -> bool:
+    if isinstance(p, AggProof):
+        (tb0, ta0, gb0, ga0, rb0, ra0) = public_data(p.left)
+        (tb1, ta1, gb1, ga1, rb1, ra1) = public_data(p.right)
+        if ta0 != tb1 or ga0 != gb1 or ra0 != rb1:
+            return False
+        if (tb0, ta1, gb0, ga1, rb0, ra1) != (
+            p.txn_number_before,
+            p.txn_number_after,
+            p.gas_used_before,
+            p.gas_used_after,
+            p.state_root_before,
+            p.state_root_after,
+        ):
+            return False
+        return verify_aggregatable(p.left, config) and verify_aggregatable(
+            p.right, config
+        )
+    if isinstance(p, DummyProof):
+        return verify_dummy(p)
+    return verify_transfer(p, config)
+
+
+def verify_block(bp: GeneratedBlockProof, config: StarkConfig) -> bool:
+    if not verify_aggregatable(bp.agg, config):
+        return False
+    if bp.state_root_before != bp.agg.state_root_before:
+        return False
+    if bp.state_root_after != bp.agg.state_root_after:
+        return False
+    if bp.parent is not None:
+        if not verify_block(bp.parent, config):
+            return False
+        if bp.parent.state_root_after != bp.state_root_before:
+            return False
+    return True

@@ -1,0 +1,195 @@
+"""Proof (de)serialization to JSON.
+
+Reference equivalent: the serde derives on proof types that let the
+leader write proofs to stdout (/root/reference/leader/src/main.rs:60)
+and paladin ship them between processes. JSON keeps the artifacts
+diffable; u64 field elements ride as decimal ints (python ints are
+arbitrary precision).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from ..evm.transfer import TxProof
+from ..fri.prove import FriProof, FriQueryRound
+from ..stark.multi import MultiProof
+from ..stark.prove import StarkOpenings, StarkProof, TreeOpenings
+from ..witness.types import GenerationInputs
+from .ops import AggProof, DummyProof, GeneratedBlockProof
+
+
+def _arr(a) -> list:
+    return np.asarray(a, dtype=np.uint64).tolist()
+
+
+def _unarr(x, dtype=np.uint64) -> np.ndarray:
+    return np.asarray(x, dtype=dtype)
+
+
+def fri_proof_to_json(p: FriProof) -> dict:
+    return {
+        "commit_caps": [_arr(c) for c in p.commit_caps],
+        "query_rounds": [
+            {"leaf_values": _arr(q.leaf_values), "merkle_paths": _arr(q.merkle_paths)}
+            for q in p.query_rounds
+        ],
+        "final_poly": _arr(p.final_poly),
+        "pow_witness": p.pow_witness,
+        "degree_bits": p.degree_bits,
+    }
+
+
+def fri_proof_from_json(d: dict) -> FriProof:
+    return FriProof(
+        commit_caps=[_unarr(c) for c in d["commit_caps"]],
+        query_rounds=[
+            FriQueryRound(_unarr(q["leaf_values"]), _unarr(q["merkle_paths"]))
+            for q in d["query_rounds"]
+        ],
+        final_poly=_unarr(d["final_poly"]),
+        pow_witness=d["pow_witness"],
+        degree_bits=d["degree_bits"],
+        query_indices=None,
+    )
+
+
+def _tree_openings_to_json(t: TreeOpenings) -> dict:
+    return {"values": _arr(t.values), "paths": _arr(t.paths)}
+
+
+def _tree_openings_from_json(d) -> TreeOpenings:
+    return TreeOpenings(values=_unarr(d["values"]), paths=_unarr(d["paths"]))
+
+
+def stark_proof_to_json(p: StarkProof) -> dict:
+    return {
+        "degree_bits": p.degree_bits,
+        "public_inputs": list(p.public_inputs),
+        "trace_cap": _arr(p.trace_cap),
+        "aux_cap": _arr(p.aux_cap) if p.aux_cap is not None else None,
+        "quotient_cap": _arr(p.quotient_cap),
+        "ctl_totals": list(p.ctl_totals),
+        "openings": {
+            "trace_at_zeta": _arr(p.openings.trace_at_zeta),
+            "trace_at_gzeta": _arr(p.openings.trace_at_gzeta),
+            "aux_at_zeta": _arr(p.openings.aux_at_zeta),
+            "aux_at_gzeta": _arr(p.openings.aux_at_gzeta),
+            "quotient_at_zeta": _arr(p.openings.quotient_at_zeta),
+        },
+        "fri_proof": fri_proof_to_json(p.fri_proof),
+        "trace_query_openings": _tree_openings_to_json(p.trace_query_openings),
+        "aux_query_openings": (
+            _tree_openings_to_json(p.aux_query_openings)
+            if p.aux_query_openings is not None
+            else None
+        ),
+        "quotient_query_openings": _tree_openings_to_json(p.quotient_query_openings),
+    }
+
+
+def stark_proof_from_json(d: dict) -> StarkProof:
+    return StarkProof(
+        degree_bits=d["degree_bits"],
+        public_inputs=list(d["public_inputs"]),
+        trace_cap=_unarr(d["trace_cap"]),
+        aux_cap=_unarr(d["aux_cap"]) if d["aux_cap"] is not None else None,
+        quotient_cap=_unarr(d["quotient_cap"]),
+        ctl_totals=list(d["ctl_totals"]),
+        openings=StarkOpenings(
+            trace_at_zeta=_unarr(d["openings"]["trace_at_zeta"]),
+            trace_at_gzeta=_unarr(d["openings"]["trace_at_gzeta"]),
+            aux_at_zeta=_unarr(d["openings"]["aux_at_zeta"]),
+            aux_at_gzeta=_unarr(d["openings"]["aux_at_gzeta"]),
+            quotient_at_zeta=_unarr(d["openings"]["quotient_at_zeta"]),
+        ),
+        fri_proof=fri_proof_from_json(d["fri_proof"]),
+        trace_query_openings=_tree_openings_from_json(d["trace_query_openings"]),
+        aux_query_openings=(
+            _tree_openings_from_json(d["aux_query_openings"])
+            if d["aux_query_openings"] is not None
+            else None
+        ),
+        quotient_query_openings=_tree_openings_from_json(d["quotient_query_openings"]),
+    )
+
+
+def tx_proof_to_json(p: TxProof) -> dict:
+    return {
+        "kind": "txn",
+        "multi": [stark_proof_to_json(sp) for sp in p.multi.proofs],
+        "pi_words": [str(w) for w in p.pi_words],  # 256-bit ints as strings
+        "gen_inputs": p.gen_inputs.to_json(),
+        "sender": p.sender.hex(),
+        "recipient": p.recipient.hex(),
+        "miner": p.miner.hex(),
+    }
+
+
+def tx_proof_from_json(d: dict) -> TxProof:
+    return TxProof(
+        multi=MultiProof(proofs=[stark_proof_from_json(x) for x in d["multi"]]),
+        pi_words=[int(w) for w in d["pi_words"]],
+        gen_inputs=GenerationInputs.from_json(d["gen_inputs"]),
+        sender=bytes.fromhex(d["sender"]),
+        recipient=bytes.fromhex(d["recipient"]),
+        miner=bytes.fromhex(d["miner"]),
+    )
+
+
+def aggregatable_to_json(p) -> dict:
+    if isinstance(p, AggProof):
+        return {
+            "kind": "agg",
+            "left": aggregatable_to_json(p.left),
+            "right": aggregatable_to_json(p.right),
+            "txn_number_before": p.txn_number_before,
+            "txn_number_after": p.txn_number_after,
+            "gas_used_before": p.gas_used_before,
+            "gas_used_after": p.gas_used_after,
+            "state_root_before": p.state_root_before.hex(),
+            "state_root_after": p.state_root_after.hex(),
+        }
+    if isinstance(p, DummyProof):
+        return {"kind": "dummy", "gen_inputs": p.gen_inputs.to_json()}
+    return tx_proof_to_json(p)
+
+
+def aggregatable_from_json(d: dict):
+    kind = d["kind"]
+    if kind == "agg":
+        return AggProof(
+            left=aggregatable_from_json(d["left"]),
+            right=aggregatable_from_json(d["right"]),
+            txn_number_before=d["txn_number_before"],
+            txn_number_after=d["txn_number_after"],
+            gas_used_before=d["gas_used_before"],
+            gas_used_after=d["gas_used_after"],
+            state_root_before=bytes.fromhex(d["state_root_before"]),
+            state_root_after=bytes.fromhex(d["state_root_after"]),
+        )
+    if kind == "dummy":
+        return DummyProof(gen_inputs=GenerationInputs.from_json(d["gen_inputs"]))
+    return tx_proof_from_json(d)
+
+
+def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
+    return {
+        "b_height": bp.block_number,
+        "state_root_before": bp.state_root_before.hex(),
+        "state_root_after": bp.state_root_after.hex(),
+        "agg": aggregatable_to_json(bp.agg),
+        "parent": block_proof_to_json(bp.parent) if bp.parent else None,
+    }
+
+
+def block_proof_from_json(d: dict) -> GeneratedBlockProof:
+    return GeneratedBlockProof(
+        block_number=d["b_height"],
+        state_root_before=bytes.fromhex(d["state_root_before"]),
+        state_root_after=bytes.fromhex(d["state_root_after"]),
+        agg=aggregatable_from_json(d["agg"]),
+        parent=block_proof_from_json(d["parent"]) if d["parent"] else None,
+    )

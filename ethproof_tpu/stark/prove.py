@@ -51,6 +51,8 @@ from .stark import (
     EvalContext,
     Stark,
     eval_ctl_constraints,
+    eval_lookup_constraints,
+    lookup_aux_count,
 )
 
 P = fh.P
@@ -185,16 +187,31 @@ def _open_tree(tree, rows: GF, idx) -> TreeOpenings:
 # -- CTL aux columns ---------------------------------------------------------
 
 
-def _ctl_z_columns(trace_gf: GF, instances: List[CtlInstance]) -> GF:
-    """Z columns (num_instances, n): running products of ctl factors."""
+def _ctl_z_columns(trace_gf: GF, instances: List[CtlInstance], fixed_gf: Optional[GF] = None) -> GF:
+    """Z columns (num_instances, n): running products of ctl factors.
+
+    Column indices >= num trace columns address fixed columns.
+    """
     cols = _rows(trace_gf)
+    if fixed_gf is not None:
+        cols = cols + _rows(fixed_gf)
     n = trace_gf.lo.shape[-1]
+    from .stark import LC
+
+    def col_val(j):
+        if isinstance(j, int):
+            return cols[j]
+        acc = gfp.full((n,), j.const)
+        for c, coeff in j.terms:
+            acc = gfp.add(acc, gfp.mul_const(cols[c], coeff))
+        return acc
+
     factors = []
     for inst in instances:
         acc = gfp.full((n,), inst.gamma)
         b = 1
         for j in inst.spec.columns:
-            acc = gfp.add(acc, gfp.mul_const(cols[j], b))
+            acc = gfp.add(acc, gfp.mul_const(col_val(j), b))
             b = b * inst.beta % P
         if inst.spec.filter_col is not None:
             f = cols[inst.spec.filter_col]
@@ -202,6 +219,46 @@ def _ctl_z_columns(trace_gf: GF, instances: List[CtlInstance]) -> GF:
         factors.append(acc)
     fstack = gfp.stack(factors)  # (k, n)
     return jax.lax.associative_scan(gfp.mul, fstack, axis=1)
+
+
+def _lookup_aux_columns(trace_gf: GF, stark: Stark, alphas: List[int]) -> Optional[GF]:
+    """logUp witness columns, layout: per spec, per alpha: h_0..h_k-1, g, S."""
+    if not stark.lookups:
+        return None
+    cols = _rows(trace_gf)
+    n = trace_gf.lo.shape[-1]
+    rows_lo, rows_hi = [], []
+    for spec in stark.lookups:
+        k = len(spec.looking_cols)
+        v = gfp.stack([cols[j] for j in spec.looking_cols])  # (k, n)
+        t = cols[spec.table_col]
+        m_col = cols[spec.multiplicity_col]
+        for alpha in alphas:
+            hs = gfp.inv(gfp.sub(gfp.full((k, n), alpha), v))  # one batched inv
+            g = gfp.mul(m_col, gfp.inv(gfp.sub(gfp.full((n,), alpha), t)))
+            # delta = sum_j h_j - g via log-halving over the stack axis
+            acc = hs
+            kk = k
+            while kk > 1:
+                half = kk // 2
+                s2 = gfp.add(
+                    GF(acc.lo[:half], acc.hi[:half]),
+                    GF(acc.lo[half : 2 * half], acc.hi[half : 2 * half]),
+                )
+                if kk & 1:
+                    s2 = GF(
+                        jnp.concatenate([s2.lo, acc.lo[-1:]]),
+                        jnp.concatenate([s2.hi, acc.hi[-1:]]),
+                    )
+                    kk = half + 1
+                else:
+                    kk = half
+                acc = s2
+            delta = gfp.sub(GF(acc.lo[0], acc.hi[0]), g)
+            s = jax.lax.associative_scan(gfp.add, delta, axis=0)
+            rows_lo.extend([hs.lo[j] for j in range(k)] + [g.lo, s.lo])
+            rows_hi.extend([hs.hi[j] for j in range(k)] + [g.hi, s.hi])
+    return GF(jnp.stack(rows_lo), jnp.stack(rows_hi))
 
 
 # -- prover ------------------------------------------------------------------
@@ -238,25 +295,42 @@ def stark_prove(
     trace_cap = gfp.to_u64(trace_tree.cap)
     challenger.observe_cap(trace_cap)
 
-    # 2. CTL aux commit
+    # 2. aux commit: CTL Z columns + logUp witness columns
+    lookup_alphas: List[int] = []
+    if stark.lookups:
+        lookup_alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
     aux_tree = aux_lde = aux_coeffs = None
     aux_cap = None
     ctl_totals: List[int] = []
+    aux_parts: List[GF] = []
+    fixed_gf_h = (
+        gfp.from_u64(stark.fixed_columns(n)) if stark.num_fixed_columns else None
+    )
     if instances:
-        z_cols = _ctl_z_columns(trace_gf, instances)  # (k, n)
+        z_cols = _ctl_z_columns(trace_gf, instances, fixed_gf_h)  # (k, n)
         ctl_totals = [int(v) for v in gfp.to_u64(GF(z_cols.lo[:, -1], z_cols.hi[:, -1]))]
-        aux_coeffs = nttm.intt(z_cols)
+        aux_parts.append(z_cols)
+    lk_cols = _lookup_aux_columns(trace_gf, stark, lookup_alphas)
+    if lk_cols is not None:
+        aux_parts.append(lk_cols)
+    if aux_parts:
+        aux_all = GF(
+            jnp.concatenate([p.lo for p in aux_parts]),
+            jnp.concatenate([p.hi for p in aux_parts]),
+        )
+        aux_coeffs = nttm.intt(aux_all)
         aux_lde = nttm.coset_lde(aux_coeffs, rate_bits, shift)
         aux_tree = merkle.build(aux_lde, fri_cfg.cap_height)
         aux_cap = gfp.to_u64(aux_tree.cap)
         challenger.observe_cap(aux_cap)
-        challenger.observe_elements(ctl_totals)
+        if instances:
+            challenger.observe_elements(ctl_totals)
 
     # 3. constraint sweep -> quotient
     alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
     quotient_lde, quotient_tree = _compute_quotient(
-        stark, trace_lde, aux_lde, instances, ctl_totals, public_inputs,
-        alphas, log_n, rate_bits, shift, fri_cfg,
+        stark, trace_lde, aux_lde, instances, ctl_totals, lookup_alphas,
+        public_inputs, alphas, log_n, rate_bits, shift, fri_cfg,
     )
     quotient_cap = gfp.to_u64(quotient_tree.cap)
     challenger.observe_cap(quotient_cap)
@@ -312,6 +386,7 @@ def _compute_quotient(
     aux_lde: Optional[GF],
     instances: List[CtlInstance],
     ctl_totals: List[int],
+    lookup_alphas: List[int],
     public_inputs: List[int],
     alphas: List[int],
     log_n: int,
@@ -337,17 +412,37 @@ def _compute_quotient(
     ops = DeviceOps((m,))
     local = _rows(trace_lde)
     nxt = _rows(_roll_cols(trace_lde, rate))
+    fixed_local: List[GF] = []
+    fixed_next: List[GF] = []
+    if stark.num_fixed_columns:
+        fixed_gf = gfp.from_u64(stark.fixed_columns(n))
+        fixed_lde = nttm.coset_lde(nttm.intt(fixed_gf), rate_bits, shift)
+        fixed_local = _rows(fixed_lde)
+        fixed_next = _rows(_roll_cols(fixed_lde, rate))
     pis = [ops.constant(int(x)) for x in public_inputs]
-    alpha_vals = [ops.constant(a) for a in alphas]
-    consumer = ConstraintConsumer(ops, alpha_vals, z_last, l_first, l_last)
-    ctx = EvalContext(ops, local, nxt, pis, consumer)
+    consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
+    ctx = EvalContext(ops, local, nxt, pis, consumer, fixed_local, fixed_next)
     stark.eval(ctx)
-    if instances:
-        local_zs = _rows(aux_lde)
-        next_zs = _rows(_roll_cols(aux_lde, rate))
-        eval_ctl_constraints(
-            ops, consumer, local, nxt, local_zs, next_zs, instances, ctl_totals
-        )
+    if aux_lde is not None:
+        aux_local = _rows(aux_lde)
+        aux_next = _rows(_roll_cols(aux_lde, rate))
+        if instances:
+            # CTL columns may reference fixed columns at offset num_columns
+            eval_ctl_constraints(
+                ops, consumer, local + fixed_local, nxt + fixed_next,
+                aux_local[: len(instances)], aux_next[: len(instances)],
+                instances, ctl_totals,
+            )
+        off = len(instances)
+        for spec in stark.lookups:
+            for alpha in lookup_alphas:
+                w = lookup_aux_count(spec)
+                eval_lookup_constraints(
+                    ops, consumer, local, nxt,
+                    aux_local[off : off + w], aux_next[off : off + w],
+                    spec, alpha,
+                )
+                off += w
 
     zh_inv = gfp.inv(zh)
     chunks = stark.quotient_chunks(bool(instances))

@@ -50,7 +50,13 @@ class FieldOps:
 
 
 class DeviceOps(FieldOps):
-    """Base-field GF arrays over the LDE domain (prover sweep)."""
+    """Base-field GF arrays over the LDE domain (prover sweep).
+
+    "Vectors" are GF arrays with a leading stack axis (k, m) — the same
+    elementwise ops apply, and the fold/pack primitives below turn k
+    structurally-identical constraints into one log-depth reduction
+    instead of k sequential Horner steps (compile-time and runtime win).
+    """
 
     def __init__(self, shape):
         from ..gf import field as gfp
@@ -70,36 +76,162 @@ class DeviceOps(FieldOps):
     def constant(self, c: int):
         return self._gfp.full(self._shape, c)
 
+    # -- vector API ----------------------------------------------------------
+
+    def stack(self, vals):
+        return self._gfp.stack(list(vals))
+
+    def vec_len(self, vec) -> int:
+        return vec.lo.shape[0]
+
+    def _sum_axis0(self, a):
+        gfp = self._gfp
+        k = a.lo.shape[0]
+        while k > 1:
+            half = k // 2
+            from ..gf.field import GF
+            import jax.numpy as jnp
+
+            s = gfp.add(
+                GF(a.lo[:half], a.hi[:half]),
+                GF(a.lo[half : 2 * half], a.hi[half : 2 * half]),
+            )
+            if k & 1:
+                s = GF(
+                    jnp.concatenate([s.lo, a.lo[-1:]]),
+                    jnp.concatenate([s.hi, a.hi[-1:]]),
+                )
+                k = half + 1
+            else:
+                k = half
+            a = s
+        from ..gf.field import GF
+
+        return GF(a.lo[0], a.hi[0])
+
+    def fold_vec(self, vec, alpha: int):
+        """sum_j alpha^(k-1-j) * vec_j — the Horner-equivalent batch fold."""
+        gfp = self._gfp
+        k = self.vec_len(vec)
+        w = [pow(alpha, k - 1 - j, HostExtOps.P) for j in range(k)]
+        wgf = gfp.gf(w)
+        from ..gf.field import GF
+
+        ndim_rest = vec.lo.ndim - 1
+        wb = GF(
+            wgf.lo.reshape((k,) + (1,) * ndim_rest),
+            wgf.hi.reshape((k,) + (1,) * ndim_rest),
+        )
+        return self._sum_axis0(gfp.mul(vec, wb))
+
+    def pack_weighted(self, vec, weights, group: int):
+        """out_i = sum_j weights[j] * vec[i*group + j]; vec (k*group, m)."""
+        gfp = self._gfp
+        from ..gf.field import GF
+
+        kg = self.vec_len(vec)
+        assert kg % group == 0
+        k = kg // group
+        m_shape = vec.lo.shape[1:]
+        r = GF(
+            vec.lo.reshape((k, group) + m_shape),
+            vec.hi.reshape((k, group) + m_shape),
+        )
+        wgf = gfp.gf(list(weights))
+        wb = GF(
+            wgf.lo.reshape((1, group) + (1,) * len(m_shape)),
+            wgf.hi.reshape((1, group) + (1,) * len(m_shape)),
+        )
+        prod = gfp.mul(r, wb)
+        # log-sum over axis 1
+        g = group
+        while g > 1:
+            half = g // 2
+            prod = gfp.add(
+                GF(prod.lo[:, :half], prod.hi[:, :half]),
+                GF(prod.lo[:, half : 2 * half], prod.hi[:, half : 2 * half]),
+            )
+            g = half
+        return GF(prod.lo[:, 0], prod.hi[:, 0])
+
 
 class HostExtOps(FieldOps):
-    """GF(p^2) python-int pairs at the out-of-domain point (verifier)."""
+    """GF(p^2) python-int pairs at the out-of-domain point (verifier).
+
+    "Vectors" are python lists of ext pairs; binary ops broadcast a
+    scalar (tuple) against a list so table code written with the vector
+    API runs unchanged here.
+    """
 
     P = 0xFFFFFFFF00000001
     W = 7
 
+    def _bin(self, a, b, f):
+        if isinstance(a, list) or isinstance(b, list):
+            if not isinstance(a, list):
+                a = [a] * len(b)
+            if not isinstance(b, list):
+                b = [b] * len(a)
+            return [f(x, y) for x, y in zip(a, b)]
+        return f(a, b)
+
     def add(self, a, b):
-        return ((a[0] + b[0]) % self.P, (a[1] + b[1]) % self.P)
+        return self._bin(a, b, lambda x, y: ((x[0] + y[0]) % self.P, (x[1] + y[1]) % self.P))
 
     def sub(self, a, b):
-        return ((a[0] - b[0]) % self.P, (a[1] - b[1]) % self.P)
+        return self._bin(a, b, lambda x, y: ((x[0] - y[0]) % self.P, (x[1] - y[1]) % self.P))
 
     def mul(self, a, b):
-        return (
-            (a[0] * b[0] + self.W * a[1] * b[1]) % self.P,
-            (a[0] * b[1] + a[1] * b[0]) % self.P,
-        )
+        def f(x, y):
+            return (
+                (x[0] * y[0] + self.W * x[1] * y[1]) % self.P,
+                (x[0] * y[1] + x[1] * y[0]) % self.P,
+            )
+
+        return self._bin(a, b, f)
 
     def constant(self, c: int):
         return (c % self.P, 0)
 
+    # -- vector API ----------------------------------------------------------
+
+    def stack(self, vals):
+        return list(vals)
+
+    def vec_len(self, vec) -> int:
+        return len(vec)
+
+    def fold_vec(self, vec, alpha: int):
+        acc = (0, 0)
+        a = (alpha % self.P, 0)
+        for c in vec:
+            acc = self.add(self.mul(acc, a), c)
+        return acc
+
+    def pack_weighted(self, vec, weights, group: int):
+        out = []
+        for i in range(len(vec) // group):
+            acc = (0, 0)
+            for j, w in enumerate(weights):
+                acc = self.add(acc, self.mul((w % self.P, 0), vec[i * group + j]))
+            out.append(acc)
+        return out
+
 
 class ConstraintConsumer:
-    """Accumulates weighted constraints, Horner-style per alpha."""
+    """Accumulates weighted constraints, Horner-style per alpha.
 
-    def __init__(self, ops: FieldOps, alphas: List[Any], z_last, l_first, l_last):
+    `constraint_vec*` absorbs a whole stack of k constraints in one step:
+    acc = acc * alpha^k + fold_vec(stack, alpha) — algebraically identical
+    to k scalar constraint() calls in stack order, but log-depth on
+    device. Selector weights (z_last / Lagrange) distribute over the fold.
+    """
+
+    def __init__(self, ops: FieldOps, alphas_int: List[int], z_last, l_first, l_last):
         self.ops = ops
-        self.alphas = alphas
-        self.accs = [ops.zero() for _ in alphas]
+        self.alphas_int = list(alphas_int)
+        self.alphas = [ops.constant(a) for a in alphas_int]
+        self.accs = [ops.zero() for _ in alphas_int]
         self.z_last = z_last
         self.l_first = l_first
         self.l_last = l_last
@@ -120,16 +252,46 @@ class ConstraintConsumer:
     def constraint_last_row(self, c) -> None:
         self._accumulate(self.ops.mul(c, self.l_last))
 
+    def _accumulate_vec(self, vec, weight) -> None:
+        o = self.ops
+        k = o.vec_len(vec)
+        P = HostExtOps.P
+        new_accs = []
+        for acc, a_int, a_val in zip(self.accs, self.alphas_int, self.alphas):
+            folded = o.fold_vec(vec, a_int)
+            if weight is not None:
+                folded = o.mul(folded, weight)
+            a_k = o.constant(pow(a_int, k, P))
+            new_accs.append(o.add(o.mul(acc, a_k), folded))
+        self.accs = new_accs
+
+    def constraint_vec(self, vec) -> None:
+        self._accumulate_vec(vec, None)
+
+    def constraint_vec_transition(self, vec) -> None:
+        self._accumulate_vec(vec, self.z_last)
+
+    def constraint_vec_first_row(self, vec) -> None:
+        self._accumulate_vec(vec, self.l_first)
+
+    def constraint_vec_last_row(self, vec) -> None:
+        self._accumulate_vec(vec, self.l_last)
+
 
 class EvalContext:
     """What a table's `eval` sees: rows, public inputs, consumer, ops."""
 
-    def __init__(self, ops, local_values, next_values, public_inputs, consumer):
+    def __init__(
+        self, ops, local_values, next_values, public_inputs, consumer,
+        fixed_local=None, fixed_next=None,
+    ):
         self.ops = ops
         self._local = local_values
         self._next = next_values
         self._public = public_inputs
         self.consumer = consumer
+        self._fixed_local = fixed_local or []
+        self._fixed_next = fixed_next or []
 
     def local(self, i: int):
         return self._local[i]
@@ -137,8 +299,27 @@ class EvalContext:
     def next(self, i: int):
         return self._next[i]
 
+    def fixed(self, i: int):
+        return self._fixed_local[i]
+
+    def fixed_next(self, i: int):
+        return self._fixed_next[i]
+
     def public_input(self, i: int):
         return self._public[i]
+
+    # stacked accessors for the vector constraint API
+    def local_stack(self, idxs):
+        return self.ops.stack([self._local[i] for i in idxs])
+
+    def next_stack(self, idxs):
+        return self.ops.stack([self._next[i] for i in idxs])
+
+    def fixed_stack(self, idxs):
+        return self.ops.stack([self._fixed_local[i] for i in idxs])
+
+    def public_stack(self, idxs):
+        return self.ops.stack([self._public[i] for i in idxs])
 
 
 class Stark:
@@ -147,6 +328,23 @@ class Stark:
     num_columns: int = 0
     num_public_inputs: int = 0
     constraint_degree: int = 3  # max total degree of any accumulated term
+    lookups: "List[LookupSpec]" = []  # in-table logUp range/set checks
+    num_fixed_columns: int = 0  # preprocessed columns (program ROM etc.)
+
+    def fixed_columns(self, n: int):
+        """(num_fixed_columns, n) uint64 — deterministic per (table, n).
+
+        Fixed columns are part of the circuit DEFINITION, not the witness:
+        the prover sweeps their LDE like trace columns, but the verifier
+        evaluates them at zeta analytically (host iNTT + Horner), so they
+        need no commitment, no openings, and no FRI involvement. This is
+        the preprocessed-column mechanism that encodes the CPU kernel's
+        program ROM (reference: the Kernel's code is baked into
+        evm_arithmetization's CPU table semantics [dep: from knowledge]).
+        """
+        import numpy as np
+
+        return np.zeros((0, n), dtype=np.uint64)
 
     def eval(self, ctx: EvalContext) -> None:  # pragma: no cover - interface
         """Emit constraints via ctx.consumer.* using ctx.ops arithmetic."""
@@ -162,15 +360,106 @@ class Stark:
         return max(self.effective_degree(has_ctls) - 1, 1)
 
 
+# -- in-table lookups (logUp) ------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LookupSpec:
+    """logUp range/set check: every value in `looking_cols` must appear in
+    the in-table column `table_col`; `multiplicity_col` counts occurrences.
+
+    Argument (starky's logUp lookups [dep: from knowledge; pin
+    /root/reference/Cargo.lock:4529]): for a challenge alpha, the identity
+      sum_rows sum_j 1/(alpha - v_j)  ==  sum_rows m/(alpha - t)
+    is proved with committed inverse-witness columns h_j (h_j*(alpha-v_j)=1)
+    and g (g*(alpha-t)=m) plus a running-sum column S with
+      S_first = sum_j h_j - g,  S_next = S_local + sum_j h_j(next) - g(next),
+      S_last = 0.
+    All constraints are degree <= 2, fitting the standard envelope.
+    """
+
+    looking_cols: Tuple[int, ...]
+    table_col: int
+    multiplicity_col: int
+
+
+def lookup_aux_count(spec: LookupSpec) -> int:
+    """h columns + g + S."""
+    return len(spec.looking_cols) + 2
+
+
+def eval_lookup_constraints(ops, consumer, local, nxt, local_aux, next_aux, spec, alpha):
+    """Shared (device sweep / host-at-zeta) logUp constraint emission.
+
+    local_aux/next_aux: the aux slice for this (spec, challenge): first
+    len(looking_cols) entries are h_j, then g, then S. The k inverse-
+    witness constraints are emitted as ONE vector constraint (log-depth
+    on device).
+    """
+    k = len(spec.looking_cols)
+    a = ops.constant(alpha)
+    one = ops.one()
+    hs_l = ops.stack(local_aux[:k])
+    g_l = local_aux[k]
+    s_l = local_aux[k + 1]
+    hs_n = ops.stack(next_aux[:k])
+    g_n = next_aux[k]
+    s_n = next_aux[k + 1]
+    v_l = ops.stack([local[c] for c in spec.looking_cols])
+    consumer.constraint_vec(ops.sub(ops.mul(hs_l, ops.sub(a, v_l)), one))
+    consumer.constraint(
+        ops.sub(
+            ops.mul(g_l, ops.sub(a, local[spec.table_col])),
+            local[spec.multiplicity_col],
+        )
+    )
+
+    def h_sum(hs, g):
+        return ops.sub(ops.fold_vec(hs, 1), g)  # alpha=1 fold == plain sum
+
+    consumer.constraint_first_row(ops.sub(s_l, h_sum(hs_l, g_l)))
+    consumer.constraint_transition(ops.sub(s_n, ops.add(s_l, h_sum(hs_n, g_n))))
+    consumer.constraint_last_row(s_l)
+
+
 # -- cross-table lookups -----------------------------------------------------
 
 
 @dataclass(frozen=True)
-class CtlSpec:
-    """One side of a lookup: which columns form the tuple, which column
-    (0/1-valued) filters participating rows (None = all rows)."""
+class LC:
+    """Affine combination of trace columns: sum(coeff * col) + const.
 
-    columns: Tuple[int, ...]
+    CTL tuple elements may be virtual columns (e.g. `virt + i` for a
+    byte-packing lookup at offset i) — still degree 1, so Z-column
+    transition constraints stay within the degree envelope. Mirrors
+    starky's `Column` linear-combination type [dep: from knowledge; pin
+    /root/reference/Cargo.lock:4529].
+    """
+
+    terms: Tuple[Tuple[int, int], ...]  # (column, coeff)
+    const: int = 0
+
+
+CtlColumn = "int | LC"
+
+
+def eval_ctl_column(ops, vals, col) -> object:
+    """Evaluate a plain or virtual CTL column against row values."""
+    if isinstance(col, int):
+        return vals[col]
+    acc = ops.constant(col.const)
+    for c, coeff in col.terms:
+        acc = ops.add(acc, ops.mul(ops.constant(coeff), vals[c]))
+    return acc
+
+
+@dataclass(frozen=True)
+class CtlSpec:
+    """One side of a lookup: which columns (plain indices or LC virtual
+    columns) form the tuple, which column (0/1-valued) filters
+    participating rows (None = all rows)."""
+
+    columns: Tuple["int | LC", ...]
     filter_col: Optional[int] = None
 
 
@@ -203,7 +492,7 @@ def eval_ctl_constraints(ops, consumer, local, nxt, local_zs, next_zs, instances
         acc = ops.constant(inst.gamma)
         b = 1
         for j in inst.spec.columns:
-            acc = ops.add(acc, ops.mul(ops.constant(b), vals[j]))
+            acc = ops.add(acc, ops.mul(ops.constant(b), eval_ctl_column(ops, vals, j)))
             b = b * inst.beta % HostExtOps.P
         return acc
 

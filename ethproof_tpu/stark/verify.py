@@ -33,6 +33,8 @@ from .stark import (
     HostExtOps,
     Stark,
     eval_ctl_constraints,
+    eval_lookup_constraints,
+    lookup_aux_count,
 )
 
 P = fh.P
@@ -61,6 +63,24 @@ def _pairs(arr: np.ndarray) -> List[Ext]:
     return [(int(v[0]), int(v[1])) for v in arr]
 
 
+def _fixed_coeffs(stark: Stark, n: int) -> List[List[int]]:
+    """Coefficient form of the fixed columns, cached per (instance, n)."""
+    cache = stark.__dict__.setdefault("_fixed_coeffs_cache", {})
+    if n not in cache:
+        cols = stark.fixed_columns(n)
+        cache[n] = [
+            fh.ntt_host([int(v) for v in col], inverse=True) for col in cols
+        ]
+    return cache[n]
+
+
+def _eval_poly_ext(coeffs: List[int], x: Ext) -> Ext:
+    acc: Ext = (0, 0)
+    for c in reversed(coeffs):
+        acc = ext_add(ext_mul(acc, x), (c, 0))
+    return acc
+
+
 def stark_verify(
     stark: Stark,
     proof: StarkProof,
@@ -87,11 +107,21 @@ def stark_verify(
     challenger.observe_elements([x % P for x in proof.public_inputs])
     challenger.observe_element(log_n)
     challenger.observe_cap(proof.trace_cap)
-    if instances:
-        if proof.aux_cap is None or len(proof.ctl_totals) != k_ctl:
+    lookup_alphas: List[int] = []
+    if stark.lookups:
+        lookup_alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
+    k_lookup = sum(lookup_aux_count(s) for s in stark.lookups) * config.num_challenges
+    k_aux = k_ctl + k_lookup
+    if k_aux:
+        if proof.aux_cap is None:
             return False
         challenger.observe_cap(proof.aux_cap)
-        challenger.observe_elements(proof.ctl_totals)
+        if instances:
+            if len(proof.ctl_totals) != k_ctl:
+                return False
+            challenger.observe_elements(proof.ctl_totals)
+        elif proof.ctl_totals:
+            return False
     elif proof.aux_cap is not None or proof.ctl_totals:
         return False
     alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
@@ -104,7 +134,7 @@ def stark_verify(
     o = proof.openings
     if o.trace_at_zeta.shape != (cols, 2) or o.trace_at_gzeta.shape != (cols, 2):
         return False
-    if o.aux_at_zeta.shape != (k_ctl, 2) or o.aux_at_gzeta.shape != (k_ctl, 2):
+    if o.aux_at_zeta.shape != (k_aux, 2) or o.aux_at_gzeta.shape != (k_aux, 2):
         return False
     if o.quotient_at_zeta.shape != (config.num_challenges * chunks, 2):
         return False
@@ -120,17 +150,33 @@ def stark_verify(
     l_last = ext_mul(ext_mul(zh, ext_inv(z_last)), (g_last * n_inv % P, 0))
     local = _pairs(o.trace_at_zeta)
     nxt = _pairs(o.trace_at_gzeta)
+    gzeta_pt = (zeta[0] * g_h % P, zeta[1] * g_h % P)
+    fixed_l: List[Ext] = []
+    fixed_nx: List[Ext] = []
+    if stark.num_fixed_columns:
+        for coeffs in _fixed_coeffs(stark, n):
+            fixed_l.append(_eval_poly_ext(coeffs, zeta))
+            fixed_nx.append(_eval_poly_ext(coeffs, gzeta_pt))
     pis = [ops.constant(int(x)) for x in proof.public_inputs]
-    alpha_vals = [ops.constant(a) for a in alphas]
-    consumer = ConstraintConsumer(ops, alpha_vals, z_last, l_first, l_last)
-    ctx = EvalContext(ops, local, nxt, pis, consumer)
+    consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
+    ctx = EvalContext(ops, local, nxt, pis, consumer, fixed_l, fixed_nx)
     stark.eval(ctx)
+    aux_l, aux_n = _pairs(o.aux_at_zeta), _pairs(o.aux_at_gzeta)
     if instances:
         eval_ctl_constraints(
-            ops, consumer, local, nxt,
-            _pairs(o.aux_at_zeta), _pairs(o.aux_at_gzeta),
+            ops, consumer, local + fixed_l, nxt + fixed_nx,
+            aux_l[:k_ctl], aux_n[:k_ctl],
             instances, proof.ctl_totals,
         )
+    off = k_ctl
+    for spec in stark.lookups:
+        for alpha in lookup_alphas:
+            w = lookup_aux_count(spec)
+            eval_lookup_constraints(
+                ops, consumer, local, nxt,
+                aux_l[off : off + w], aux_n[off : off + w], spec, alpha,
+            )
+            off += w
     for ai in range(config.num_challenges):
         q: Ext = (0, 0)
         zpow: Ext = (1, 0)
@@ -153,7 +199,7 @@ def stark_verify(
         return False
     if qq.values.shape != (num_q, config.num_challenges * chunks):
         return False
-    if instances and (aq is None or aq.values.shape != (num_q, k_ctl)):
+    if k_aux and (aq is None or aq.values.shape != (num_q, k_aux)):
         return False
     gzeta = (zeta[0] * g_h % P, zeta[1] * g_h % P)
     w = fh.primitive_root_of_unity(log_n + rate_bits)
@@ -173,12 +219,12 @@ def stark_verify(
     for q, (idx, comp_val) in enumerate(round0):
         t_leaf = [int(v) for v in tq.values[q]]
         q_leaf = [int(v) for v in qq.values[q]]
-        a_leaf = [int(v) for v in aq.values[q]] if instances else []
+        a_leaf = [int(v) for v in aq.values[q]] if k_aux else []
         if not _verify_merkle(t_leaf, idx, tq.paths[q], proof.trace_cap):
             return False
         if not _verify_merkle(q_leaf, idx, qq.paths[q], proof.quotient_cap):
             return False
-        if instances and not _verify_merkle(a_leaf, idx, aq.paths[q], proof.aux_cap):
+        if k_aux and not _verify_merkle(a_leaf, idx, aq.paths[q], proof.aux_cap):
             return False
         x = shift * pow(w, idx, P) % P
         b0: Ext = (0, 0)

@@ -1,0 +1,120 @@
+"""End-to-end: GenerationInputs -> transfer kernel -> 5-table proof -> verify.
+
+The minimum end-to-end slice of SURVEY.md §7: witness (synthetic, no RPC)
+-> host trace generation for all tables -> multi-table STARK proof with
+CTLs -> verification including trie binding. Values are kept tiny so the
+range tables stay small enough for the CPU test backend; realistic sizes
+run on the TPU (see the verify recipe).
+"""
+
+import numpy as np
+import pytest
+
+from ethproof_tpu.fri.config import FriConfig, StarkConfig
+from ethproof_tpu.hash.keccak import keccak256
+from ethproof_tpu.evm.transfer import (
+    TxProof,
+    derive_pi_words,
+    prove_transfer,
+    verify_transfer,
+)
+from ethproof_tpu.evm.tx import private_key_to_address, sign_legacy_tx
+from ethproof_tpu.tables.all import TableSizes
+from ethproof_tpu.trie.nibbles import Nibbles
+from ethproof_tpu.trie.trie import PartialTrie
+from ethproof_tpu.witness.mpt import encode_account
+from ethproof_tpu.witness.types import (
+    BlockMetadata,
+    GenerationInputs,
+    TrieInputs,
+    TrieRoots,
+)
+
+CFG = StarkConfig(
+    num_challenges=2,
+    fri_config=FriConfig(
+        rate_bits=2,
+        cap_height=1,
+        proof_of_work_bits=4,
+        num_query_rounds=12,
+        arity_bits=2,
+        final_poly_bits=2,
+    ),
+)
+SIZES = TableSizes(cpu=5, arithmetic=6, logic=4, bytepacking=9, memory=7)
+
+PK = 0x1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF
+
+
+def _key(addr):
+    return Nibbles.from_bytes(keccak256(addr))
+
+
+def _acct(nonce, balance):
+    return encode_account(
+        {
+            "nonce": nonce,
+            "balance": balance,
+            "storage_root": PartialTrie().hash(),
+            "code_hash": keccak256(b""),
+        }
+    )
+
+
+def make_transfer_witness(value=3, gas_price=0, sender_bal=40, tamper_root=False):
+    sender = private_key_to_address(PK)
+    recipient = b"\xbb" * 20
+    miner = b"\xcc" * 20
+    state = PartialTrie()
+    state.insert(_key(sender), _acct(4, sender_bal))
+    state.insert(_key(recipient), _acct(0, 30))
+    state.insert(_key(miner), _acct(0, 7))
+    raw = sign_legacy_tx(4, gas_price, 21000, recipient, value, b"", PK, chain_id=1)
+    fee = gas_price * 21000
+    post = state.copy()
+    post.insert(_key(sender), _acct(5, sender_bal - value - fee))
+    post.insert(_key(recipient), _acct(0, 30 + value))
+    post.insert(_key(miner), _acct(0, 7 + fee))
+    root_after = post.hash()
+    if tamper_root:
+        root_after = keccak256(b"wrong")
+    return GenerationInputs(
+        txn_number_before=0,
+        gas_used_before=0,
+        gas_used_after=21000,
+        signed_txn=raw,
+        tries=TrieInputs(state_trie=state),
+        trie_roots_after=TrieRoots(state_root=root_after),
+        checkpoint_state_trie_root=state.hash(),
+        block_metadata=BlockMetadata(block_beneficiary=miner, block_chain_id=1),
+    )
+
+
+class TestPiDerivation:
+    def test_pi_words(self):
+        gi = make_transfer_witness()
+        pi, sender, recipient, miner = derive_pi_words(gi)
+        assert pi[4] == 3 and pi[5] == 0  # value, fee
+        assert pi[0] == 4 and pi[6] == 5  # nonce pre/post
+        assert pi[1] == 40 and pi[7] == 37
+        assert pi[8] == 33 and pi[9] == 7
+        assert recipient == b"\xbb" * 20 and miner == b"\xcc" * 20
+
+
+class TestTransferE2E:
+    def test_prove_verify(self):
+        gi = make_transfer_witness()
+        proof = prove_transfer(gi, CFG, SIZES)
+        assert verify_transfer(proof, CFG)
+
+    def test_tampered_pi_rejected(self):
+        gi = make_transfer_witness()
+        proof = prove_transfer(gi, CFG, SIZES)
+        proof.pi_words = list(proof.pi_words)
+        proof.pi_words[8] += 1  # claim recipient got one extra wei
+        assert not verify_transfer(proof, CFG)
+
+    def test_wrong_state_root_rejected(self):
+        gi = make_transfer_witness(tamper_root=True)
+        proof = prove_transfer(gi, CFG, SIZES)
+        assert not verify_transfer(proof, CFG)
