@@ -35,17 +35,25 @@ def main() -> None:
     from ethproof_tpu.gf import field as gfp
     import ethproof_tpu.poly.ntt as nttm
 
+    import ethproof_tpu.poly.mxu_ntt as mx
+
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    variant = sys.argv[2] if len(sys.argv) > 2 else "mxu"
     n = 1 << log_n
     rng = np.random.default_rng(0)
     vals = rng.integers(0, gfp.P, size=(n,), dtype=np.uint64)
     a = gfp.from_u64(vals)
+    ntt_fn = (
+        (lambda c: mx._mxu_ntt_impl(c, inverse=False))
+        if variant == "mxu"
+        else (lambda c: nttm._ntt_impl(c, inverse=False))
+    )
 
     def chain(k):
         @jax.jit
         def run(x):
             def body(c, _):
-                return nttm._ntt_impl(c, inverse=False), None
+                return ntt_fn(c), None
 
             out, _ = jax.lax.scan(body, x, None, length=k)
             # fold to one element so only 8 bytes cross the transport
@@ -71,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"goldilocks_ntt_butterflies_per_s_2^{log_n}",
+                "metric": f"goldilocks_ntt_butterflies_per_s_2^{log_n}_{variant}",
                 "value": round(butterflies / max(per_ntt, 1e-9), 1),
                 "unit": "butterflies/s/chip",
                 "vs_baseline": None,

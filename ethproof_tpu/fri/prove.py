@@ -200,8 +200,9 @@ def fri_prove(
     from ..poly import ntt as nttm
 
     final_len = 1 << (log_m - config.rate_bits)
-    coeff_a = nttm._coset_intt_impl(code.a, shift)
-    coeff_b = nttm._coset_intt_impl(code.b, shift)
+    from ..poly import mxu_ntt as mxnt
+    coeff_a = mxnt._best_coset_intt_impl(code.a, shift)
+    coeff_b = mxnt._best_coset_intt_impl(code.b, shift)
     fp = np.stack(
         [gfp.to_u64(coeff_a)[:final_len], gfp.to_u64(coeff_b)[:final_len]], axis=1
     )

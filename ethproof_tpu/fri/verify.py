@@ -49,10 +49,7 @@ def ext_scale(x: Ext, s: int) -> Ext:
 
 
 def _verify_merkle(leaf_elems: List[int], index: int, path: np.ndarray, cap: np.ndarray) -> bool:
-    if len(leaf_elems) <= 4:
-        digest = leaf_elems + [0] * (4 - len(leaf_elems))
-    else:
-        digest = poseidon.hash_n_to_m_no_pad_host(leaf_elems)
+    digest = poseidon.tree_digest_host(leaf_elems)
     idx = index
     for lvl in range(path.shape[0]):
         sib = [int(v) for v in path[lvl]]

@@ -111,8 +111,24 @@ def _state_to_bytes(s: np.ndarray) -> bytes:
     return lanes.tobytes()
 
 
+try:  # native host kernel (build with: python native/build.py)
+    from .. import _ethproof_native as _native
+except ImportError:
+    _native = None
+
+
 def keccak256(data: bytes) -> bytes:
-    """Ethereum keccak256: rate 136, pad 0x01 ... 0x80 (pre-NIST padding)."""
+    """Ethereum keccak256: rate 136, pad 0x01 ... 0x80 (pre-NIST padding).
+
+    Uses the C extension when built (witness generation hashes every trie
+    node — the hot host path); numpy fallback otherwise.
+    """
+    if _native is not None:
+        return _native.keccak256(bytes(data))
+    return _keccak256_py(bytes(data))
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136
     state = np.zeros((5, 5), dtype=U64)
     padded = bytearray(data)

@@ -43,15 +43,19 @@ class MerkleTree(NamedTuple):
 
 
 def hash_leaves(rows: GF) -> GF:
-    """Hash rows (L, N) -> leaf digests (4, N) via hash_or_noop."""
-    return poseidon.hash_or_noop(rows)
+    """Hash rows (L, N) -> leaf digests (4, N).
+
+    L <= 4: padded copy (hash_or_noop). Wider rows: balanced two_to_one
+    tree — log-depth and width-vectorized (see poseidon.tree_digest).
+    """
+    return poseidon.tree_digest(rows)
 
 
 @partial(jax.jit, static_argnums=1)
 def _build_levels(rows: GF, cap_height: int):
     n = rows.lo.shape[1]
     depth = n.bit_length() - 1
-    digests = poseidon._hash_or_noop_impl(rows)
+    digests = poseidon._tree_digest_impl(rows)
     levels = [digests]
     for _ in range(depth - cap_height):
         left = GF(digests.lo[:, 0::2], digests.hi[:, 0::2])

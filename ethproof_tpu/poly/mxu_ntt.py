@@ -1,0 +1,241 @@
+"""MXU NTT: four-step decomposition with exact chunked-f32 matmuls.
+
+The radix-2 NTT (ntt.py) runs on the VPU as u32 limb arithmetic — its
+throughput ceiling is scalar-ish integer ops. The MXU (128x128 systolic
+array) does f32 matmuls at ~2 orders of magnitude higher FLOP rates, and
+a DFT IS a matmul — so we rebuild the NTT as matmuls with an EXACT
+integer-in-float encoding:
+
+- Bailey four-step: n = n1 * n2 with x[i1*n2 + i2]:
+    1. n1-point DFTs along i1 (a matmul over the i2 batch)
+    2. twiddle by w_n^(i2*k1) (elementwise field mul, precomputed table)
+    3. n2-point DFTs along i2
+    4. output is the (k1, k2) transpose: out[k2*n1 + k1]
+  Sizes beyond the base recurse (4096 = 64 x 64, 2^24 = 4096 x 4096...).
+- Exact field matmul: split data and DFT-matrix entries into 8-bit
+  chunks; each chunk-pair product is < 2^16 and a base-64 dot sum stays
+  < 2^22 < 2^24, exactly representable in f32 (HIGHEST precision). The
+  8x8 chunk products accumulate into 15 weight buckets (int32, < 2^25,
+  exact), which recombine into u32 limbs with explicit carries and one
+  Goldilocks reduction.
+
+Matches ntt.ntt / ntt.intt bit-for-bit (natural order in and out).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gf import field as gfp
+from ..gf import field_host as fh
+from ..gf.field import GF, _b2u, _reduce128
+from . import ntt as nttm
+
+_U32 = jnp.uint32
+BASE_LOG = 6  # 64-point base DFT
+BASE = 1 << BASE_LOG
+
+
+@lru_cache(maxsize=32)
+def _dft_matrix_chunks(log_n: int, inverse: bool) -> np.ndarray:
+    """(8, n, n) f32: the DFT matrix W[k, i] = w^(k*i), 8-bit chunked.
+
+    The 1/n iNTT scale is NOT folded in here (applied by the caller once).
+    """
+    n = 1 << log_n
+    w = fh.primitive_root_of_unity(log_n)
+    if inverse:
+        w = fh.inv(w)
+    rows = np.zeros((n, n), dtype=np.uint64)
+    wk = 1
+    for k in range(n):
+        val = 1
+        for i in range(n):
+            rows[k, i] = val
+            val = val * wk % fh.P
+        wk = wk * w % fh.P
+    chunks = np.zeros((8, n, n), dtype=np.float32)
+    for c in range(8):
+        chunks[c] = ((rows >> np.uint64(8 * c)) & np.uint64(0xFF)).astype(np.float32)
+    return chunks
+
+
+def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
+    """W @ a over the FIRST axis of a (n, batch...) GF array. Exact."""
+    n = 1 << log_n
+    w_chunks = jnp.asarray(_dft_matrix_chunks(log_n, inverse))  # (8, n, n)
+    # data 8-bit chunks: (8, n, batch)
+    d = jnp.stack(
+        [(a.lo >> (8 * c)) & _U32(0xFF) for c in range(4)]
+        + [(a.hi >> (8 * c)) & _U32(0xFF) for c in range(4)]
+    ).astype(jnp.float32)
+    batch_shape = a.lo.shape[1:]
+    d2 = d.reshape(8, n, -1)
+    # chunk products into 15 weight buckets (int32 exact)
+    buckets = [None] * 15
+    for wc in range(8):
+        m = jax.lax.dot_general(
+            w_chunks[wc],
+            d2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (n, 8, batch) — contraction over i; d-chunk axis batches
+        mi = m.astype(jnp.int32)
+        for dc in range(8):
+            b = wc + dc
+            piece = mi[:, dc, :]
+            buckets[b] = piece if buckets[b] is None else buckets[b] + piece
+    # recombine: value = sum_b bucket_b * 2^(8b); buckets < 2^27, so the
+    # exact total can reach ~2^139 — five u32 limbs with full carry
+    # propagation, then fold limb 4 via 2^128 ≡ -2^32 (mod p).
+    limbs = [jnp.zeros_like(buckets[0], dtype=_U32) for _ in range(5)]
+
+    def add_at(i, v):
+        carry = v
+        for j in range(i, 5):
+            limbs[j] = limbs[j] + carry
+            carry = _b2u(limbs[j] < carry)
+
+    for b in range(15):
+        v = buckets[b].astype(_U32)
+        sh = (8 * b) % 32
+        li = (8 * b) // 32
+        add_at(li, (v << sh) if sh else v)
+        if sh:
+            add_at(li + 1, v >> (32 - sh))
+    lo, hi = _reduce128(limbs[0], limbs[1], limbs[2], limbs[3])
+    # limb4 * 2^128 ≡ -limb4 * 2^32; limb4 * 2^32 < p so GF is canonical
+    res = gfp.sub(GF(lo, hi), GF(jnp.zeros_like(lo), limbs[4]))
+    return GF(
+        res.lo.reshape((n,) + batch_shape), res.hi.reshape((n,) + batch_shape)
+    )
+
+
+def _twiddle_table(log_n1: int, log_n2: int, inverse: bool) -> GF:
+    """w_n^(i2*k1) as a device (n1, n2) GF array (computed on device)."""
+    log_n = log_n1 + log_n2
+    w = fh.primitive_root_of_unity(log_n)
+    if inverse:
+        w = fh.inv(w)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    # row k1 of the table is powers of w^k1: build as outer power structure
+    # pow(w, i2 * k1) = (w^k1)^i2; compute w^k1 ladder then per-row powers.
+    base_pows = nttm.powers(nttm._scalar_gf(w), n1)  # w^k1 for k1 < n1
+    # table[k1, i2] = base_pows[k1]^i2 — log-doubling over i2
+    t = gfp.ones((n1, 1))
+    acc = base_pows
+    length = 1
+    while length < n2:
+        nxt = gfp.mul(
+            t,
+            GF(
+                jnp.broadcast_to(acc.lo[:, None], (n1, length)),
+                jnp.broadcast_to(acc.hi[:, None], (n1, length)),
+            ),
+        )
+        t = GF(
+            jnp.concatenate([t.lo, nxt.lo], axis=1),
+            jnp.concatenate([t.hi, nxt.hi], axis=1),
+        )
+        acc = gfp.mul(acc, acc)
+        length *= 2
+    return t
+
+
+def _mxu_ntt_rec(a: GF, log_n: int, inverse: bool) -> GF:
+    """Natural-order four-step NTT over the LAST axis."""
+    if log_n <= BASE_LOG + 2:  # small sizes: one matmul
+        moved = GF(jnp.moveaxis(a.lo, -1, 0), jnp.moveaxis(a.hi, -1, 0))
+        out = _field_matmul_dft(moved, log_n, inverse)
+        return GF(jnp.moveaxis(out.lo, 0, -1), jnp.moveaxis(out.hi, 0, -1))
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = a.lo.shape[:-1]
+    # x[i1*n2 + i2] -> X[..., i1, i2]
+    x = GF(a.lo.reshape(batch + (n1, n2)), a.hi.reshape(batch + (n1, n2)))
+    # step 1: n1-point DFT over i1
+    s1 = _mxu_ntt_rec(
+        GF(jnp.swapaxes(x.lo, -1, -2), jnp.swapaxes(x.hi, -1, -2)),
+        log_n1,
+        inverse,
+    )  # (..., i2, k1)
+    # step 2: twiddle w^(i2*k1)
+    tw = _twiddle_table(log_n1, log_n2, inverse)  # (n1, n2) indexed [k1, i2]
+    tw_t = GF(jnp.swapaxes(tw.lo, 0, 1), jnp.swapaxes(tw.hi, 0, 1))  # (i2, k1)
+    s2 = gfp.mul(s1, tw_t)
+    # step 3: n2-point DFT over i2
+    s3 = _mxu_ntt_rec(
+        GF(jnp.swapaxes(s2.lo, -1, -2), jnp.swapaxes(s2.hi, -1, -2)),
+        log_n2,
+        inverse,
+    )  # (..., k1, k2)
+    # step 4: out[k2*n1 + k1] -> transpose to (k2, k1) then flatten
+    out = GF(jnp.swapaxes(s3.lo, -1, -2), jnp.swapaxes(s3.hi, -1, -2))
+    return GF(
+        out.lo.reshape(batch + (1 << log_n,)), out.hi.reshape(batch + (1 << log_n,))
+    )
+
+
+def _mxu_ntt_impl(a: GF, inverse: bool) -> GF:
+    n = a.lo.shape[-1]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    out = _mxu_ntt_rec(a, log_n, inverse)
+    if inverse:
+        out = gfp.mul(out, nttm._scalar_gf(fh.inv(n)))
+    return out
+
+
+mxu_ntt = jax.jit(partial(_mxu_ntt_impl, inverse=False))
+mxu_ntt.__doc__ = "MXU four-step NTT over the last axis (natural order)."
+mxu_intt = jax.jit(partial(_mxu_ntt_impl, inverse=True))
+
+
+def mxu_coset_lde(coeffs: GF, rate_bits: int, shift: int) -> GF:
+    n = coeffs.lo.shape[-1]
+    big_n = n << rate_bits
+    batch = coeffs.lo.shape[:-1]
+    sp = nttm.powers(nttm._scalar_gf(shift), n)
+    scaled = gfp.mul(coeffs, sp)
+    pad = [(0, 0)] * len(batch) + [(0, big_n - n)]
+    padded = GF(jnp.pad(scaled.lo, pad), jnp.pad(scaled.hi, pad))
+    return _mxu_ntt_impl(padded, inverse=False)
+
+
+# -- size-dispatched transforms (prover-facing) ------------------------------
+
+_MXU_MIN = 1 << 9  # below this the radix-2 VPU path wins / ties
+
+
+def _best_ntt_impl(a: GF, inverse: bool) -> GF:
+    if a.lo.shape[-1] >= _MXU_MIN:
+        return _mxu_ntt_impl(a, inverse)
+    return nttm._ntt_impl(a, inverse)
+
+
+best_ntt = jax.jit(partial(_best_ntt_impl, inverse=False))
+best_intt = jax.jit(partial(_best_ntt_impl, inverse=True))
+
+
+def _best_coset_lde_impl(coeffs: GF, rate_bits: int, shift: int) -> GF:
+    if (coeffs.lo.shape[-1] << rate_bits) >= _MXU_MIN:
+        return mxu_coset_lde(coeffs, rate_bits, shift)
+    return nttm._coset_lde_impl(coeffs, rate_bits, shift)
+
+
+best_coset_lde = jax.jit(_best_coset_lde_impl, static_argnums=(1, 2))
+
+
+def _best_coset_intt_impl(evals: GF, shift: int) -> GF:
+    coeffs = _best_ntt_impl(evals, inverse=True)
+    inv_sp = nttm.powers(nttm._scalar_gf(fh.inv(shift)), evals.lo.shape[-1])
+    return gfp.mul(coeffs, inv_sp)
+
+
+best_coset_intt = jax.jit(_best_coset_intt_impl, static_argnums=1)

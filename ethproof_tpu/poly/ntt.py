@@ -28,7 +28,7 @@ is the 2^rate_bits-times-larger subgroup, matching starky's LDE with
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +41,17 @@ from ..gf.field import GF
 _U32 = jnp.uint32
 
 
-@lru_cache(maxsize=64)
-def _bitrev_indices(log_n: int) -> np.ndarray:
+def _bitrev_indices(log_n: int) -> jnp.ndarray:
+    """Bit-reversal permutation indices, computed ON DEVICE from iota.
+
+    Embedding a host-precomputed table would bake an O(n) constant into the
+    compiled program (at 2^24 that is a 64 MB HLO constant — rejected by
+    the remote-compile transport); log_n shift/or ops on an iota cost
+    nothing and keep the executable tiny.
+    """
     n = 1 << log_n
-    idx = np.arange(n, dtype=np.uint32)
-    rev = np.zeros(n, dtype=np.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros(n, dtype=jnp.int32)
     for b in range(log_n):
         rev = (rev << 1) | ((idx >> b) & 1)
     return rev
@@ -92,7 +98,7 @@ def _ntt_impl(a: GF, inverse: bool) -> GF:
     log_n = n.bit_length() - 1
     if n == 1:
         return a
-    rev = jnp.asarray(_bitrev_indices(log_n).astype(np.int32))
+    rev = _bitrev_indices(log_n)
     x = GF(jnp.take(a.lo, rev, axis=-1), jnp.take(a.hi, rev, axis=-1))
     batch = x.lo.shape[:-1]
     twiddles = _stage_twiddles(log_n, inverse)

@@ -31,6 +31,7 @@ from ..fri.challenger import Challenger
 from ..fri.config import StarkConfig
 from ..hash import merkle
 from ..poly import ntt as nttm
+from ..poly import mxu_ntt as mxnt
 from .prove import StarkProof, stark_prove
 from .stark import CtlInstance, CtlSpec, Stark
 from .verify import stark_verify
@@ -53,8 +54,8 @@ class MultiProof:
 
 def _trace_cap(trace: np.ndarray, config: StarkConfig) -> np.ndarray:
     trace_gf = gfp.from_u64(trace)
-    lde = nttm.coset_lde(
-        nttm.intt(trace_gf), config.fri_config.rate_bits, config.fri_config.coset_shift
+    lde = mxnt.best_coset_lde(
+        mxnt.best_intt(trace_gf), config.fri_config.rate_bits, config.fri_config.coset_shift
     )
     tree = merkle.build(lde, config.fri_config.cap_height)
     return gfp.to_u64(tree.cap)

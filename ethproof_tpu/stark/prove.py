@@ -41,6 +41,7 @@ from ..gf.extension import GF2
 from ..gf.field import GF
 from ..hash import merkle
 from ..poly import ntt as nttm
+from ..poly import mxu_ntt as mxnt
 from ..fri.challenger import Challenger
 from ..fri.config import StarkConfig
 from ..fri.prove import FriProof, fri_prove, _scalar_gf
@@ -289,8 +290,8 @@ def stark_prove(
 
     # 1. trace commit
     trace_gf = gfp.from_u64(trace)
-    trace_coeffs = nttm.intt(trace_gf)
-    trace_lde = nttm.coset_lde(trace_coeffs, rate_bits, shift)
+    trace_coeffs = mxnt.best_intt(trace_gf)
+    trace_lde = mxnt.best_coset_lde(trace_coeffs, rate_bits, shift)
     trace_tree = merkle.build(trace_lde, fri_cfg.cap_height)
     trace_cap = gfp.to_u64(trace_tree.cap)
     challenger.observe_cap(trace_cap)
@@ -318,8 +319,8 @@ def stark_prove(
             jnp.concatenate([p.lo for p in aux_parts]),
             jnp.concatenate([p.hi for p in aux_parts]),
         )
-        aux_coeffs = nttm.intt(aux_all)
-        aux_lde = nttm.coset_lde(aux_coeffs, rate_bits, shift)
+        aux_coeffs = mxnt.best_intt(aux_all)
+        aux_lde = mxnt.best_coset_lde(aux_coeffs, rate_bits, shift)
         aux_tree = merkle.build(aux_lde, fri_cfg.cap_height)
         aux_cap = gfp.to_u64(aux_tree.cap)
         challenger.observe_cap(aux_cap)
@@ -339,7 +340,7 @@ def stark_prove(
     zeta = challenger.get_extension_challenge()
     g_h = fh.primitive_root_of_unity(log_n)
     gzeta = (zeta[0] * g_h % P, zeta[1] * g_h % P)
-    quotient_coeffs = nttm.coset_intt(quotient_lde, shift)
+    quotient_coeffs = mxnt.best_coset_intt(quotient_lde, shift)
     empty = GF(jnp.zeros((0, n), dtype=jnp.uint32), jnp.zeros((0, n), dtype=jnp.uint32))
     aux_c = aux_coeffs if aux_coeffs is not None else empty
     openings = StarkOpenings(
@@ -416,7 +417,7 @@ def _compute_quotient(
     fixed_next: List[GF] = []
     if stark.num_fixed_columns:
         fixed_gf = gfp.from_u64(stark.fixed_columns(n))
-        fixed_lde = nttm.coset_lde(nttm.intt(fixed_gf), rate_bits, shift)
+        fixed_lde = mxnt.best_coset_lde(mxnt.best_intt(fixed_gf), rate_bits, shift)
         fixed_local = _rows(fixed_lde)
         fixed_next = _rows(_roll_cols(fixed_lde, rate))
     pis = [ops.constant(int(x)) for x in public_inputs]
@@ -449,12 +450,12 @@ def _compute_quotient(
     q_rows_lo, q_rows_hi = [], []
     for acc in consumer.accs:
         q_evals = gfp.mul(acc, zh_inv)
-        q_coeffs = nttm.coset_intt(q_evals, shift)
+        q_coeffs = mxnt.best_coset_intt(q_evals, shift)
         for c in range(chunks):
             chunk = GF(
                 q_coeffs.lo[c * n : (c + 1) * n], q_coeffs.hi[c * n : (c + 1) * n]
             )
-            chunk_lde = nttm.coset_lde(chunk, rate_bits, shift)
+            chunk_lde = mxnt.best_coset_lde(chunk, rate_bits, shift)
             q_rows_lo.append(chunk_lde.lo)
             q_rows_hi.append(chunk_lde.hi)
     quotient_lde = GF(jnp.stack(q_rows_lo), jnp.stack(q_rows_hi))

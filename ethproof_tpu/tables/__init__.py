@@ -12,4 +12,12 @@ column. 16-bit limbs keep every constraint's integer arithmetic far below
 p (no wraparound), so limb equations hold over Z.
 """
 
-from . import arithmetic  # noqa: F401
+from . import (  # noqa: F401
+    arithmetic,
+    bytepacking,
+    cpu,
+    keccak,
+    keccak_sponge,
+    logic,
+    memory,
+)

@@ -2,10 +2,11 @@
 
 Reference equivalent: evm_arithmetization's `AllStark` with its
 cross-table lookups (cpu<->arithmetic, cpu<->logic, cpu/bytepacking<->
-memory, ...) [dep: from knowledge; pin /root/reference/Cargo.lock:1675].
-Table order mirrors the reference's Circuit enum
-(/root/reference/common/src/prover_state/circuit.rs:59-67) with the
-keccak pair pending (roadmap; see ARCHITECTURE.md).
+memory, sponge<->keccak/logic/memory) [dep: from knowledge; pin
+/root/reference/Cargo.lock:1675]. The seven tables mirror the
+reference's Circuit enum (/root/reference/common/src/prover_state/
+circuit.rs:59-67): Arithmetic, BytePacking, Cpu, Keccak, KeccakSponge,
+Logic, Memory.
 """
 
 from __future__ import annotations
@@ -17,23 +18,27 @@ import numpy as np
 
 from ..fri.config import StarkConfig
 from ..stark.multi import CrossTableLookup, MultiProof, prove_multi, verify_multi
-from . import arithmetic, bytepacking, logic, memory
+from . import arithmetic, bytepacking, keccak, keccak_sponge, logic, memory
 from .cpu import CpuStark, CpuTraceResult, Instr, execute, pi_limbs
 
 # table indices (stable order)
-T_CPU, T_ARITH, T_LOGIC, T_BYTEPACK, T_MEM = range(5)
+T_CPU, T_ARITH, T_LOGIC, T_BYTEPACK, T_MEM, T_KECCAK, T_SPONGE = range(7)
 
 
-def build_ctls(cpu: CpuStark) -> List[CrossTableLookup]:
+def build_ctls(cpu: CpuStark, with_keccak: bool = True) -> List[CrossTableLookup]:
     mem_looking = [(T_CPU, spec) for spec in cpu.memory_ctl_specs()]
     mem_looking += [(T_BYTEPACK, s) for s in bytepacking.memory_ctl_specs()]
-    return [
+    logic_looking = [(T_CPU, cpu.logic_ctl_spec())]
+    if with_keccak:
+        mem_looking += [(T_SPONGE, s) for s in keccak_sponge.memory_ctl_specs()]
+        logic_looking += [(T_SPONGE, s) for s in keccak_sponge.logic_ctl_specs()]
+    ctls = [
         CrossTableLookup(
             looking=((T_CPU, cpu.arith_ctl_spec()),),
             looked=(T_ARITH, arithmetic.ArithmeticStark.ctl_spec),
         ),
         CrossTableLookup(
-            looking=((T_CPU, cpu.logic_ctl_spec()),),
+            looking=tuple(logic_looking),
             looked=(T_LOGIC, logic.LogicStark.ctl_spec),
         ),
         CrossTableLookup(
@@ -41,6 +46,19 @@ def build_ctls(cpu: CpuStark) -> List[CrossTableLookup]:
             looked=(T_MEM, memory.MemoryStark.ctl_spec),
         ),
     ]
+    if with_keccak:
+        kc = keccak.KeccakStark()
+        ctls += [
+            CrossTableLookup(
+                looking=((T_SPONGE, keccak_sponge.keccak_input_ctl_spec()),),
+                looked=(T_KECCAK, kc.input_ctl_spec()),
+            ),
+            CrossTableLookup(
+                looking=((T_SPONGE, keccak_sponge.keccak_output_ctl_spec()),),
+                looked=(T_KECCAK, kc.output_ctl_spec()),
+            ),
+        ]
+    return ctls
 
 
 @dataclass
@@ -48,13 +66,32 @@ class TableSizes:
     """log2 trace lengths per table — the analogue of the reference's
     *_CIRCUIT_SIZE ranges (/root/reference/common/src/prover_state/
     circuit.rs:77-100). Tests use tiny sizes; production uses >= the
-    range-check minimums (arith 2^16, bytepacking 2^9 ...)."""
+    range-check minimums (arith 2^16, bytepacking/sponge 2^9 ...).
+
+    keccak=None drops the Keccak/KeccakSponge pair (and their CTLs) from
+    the proof — valid whenever the workload issues no hash requests (the
+    transfer kernel); the verifier requires the same configuration."""
 
     cpu: int = 5
     arithmetic: int = 6
     logic: int = 4
     bytepacking: int = 9
     memory: int = 7
+    keccak: "int | None" = 5
+    keccak_sponge: int = 8
+
+
+def all_starks(cpu: CpuStark, with_keccak: bool = True):
+    out = [
+        cpu,
+        arithmetic.ArithmeticStark(),
+        logic.LogicStark(),
+        bytepacking.BytePackingStark(),
+        memory.MemoryStark(),
+    ]
+    if with_keccak:
+        out += [keccak.KeccakStark(), keccak_sponge.KeccakSpongeStark()]
+    return out
 
 
 def prove_all_tables(
@@ -62,24 +99,34 @@ def prove_all_tables(
     pi_words: List[int],
     sizes: TableSizes,
     config: StarkConfig,
+    hash_requests: List["keccak_sponge.HashRequest"] = (),
 ) -> Tuple[MultiProof, CpuTraceResult]:
-    """Execute the kernel and prove all five tables under one transcript."""
+    """Execute the kernel and prove all seven tables under one transcript."""
+    with_keccak = sizes.keccak is not None
+    assert with_keccak or not hash_requests, "hash requests need the keccak pair"
     res = execute(cpu.program, pi_words, 1 << sizes.cpu)
     arith_tr, _ = arithmetic.generate_trace(res.arith_requests, 1 << sizes.arithmetic)
-    logic_tr, _ = logic.generate_trace(res.logic_requests, 1 << sizes.logic)
     bp_tr, bp_mem_ops = bytepacking.generate_trace([], 1 << sizes.bytepacking)
-    mem_tr = memory.generate_trace(res.mem_ops + bp_mem_ops, 1 << sizes.memory)
+    if with_keccak:
+        sponge = keccak_sponge.generate_trace(
+            list(hash_requests), 1 << sizes.keccak_sponge
+        )
+        logic_tr, _ = logic.generate_trace(
+            res.logic_requests + sponge.logic_requests, 1 << sizes.logic
+        )
+        mem_tr = memory.generate_trace(
+            res.mem_ops + bp_mem_ops + sponge.mem_ops, 1 << sizes.memory
+        )
+        keccak_tr = keccak.generate_trace(sponge.perm_inputs, 1 << sizes.keccak)
+        traces = [res.trace, arith_tr, logic_tr, bp_tr, mem_tr, keccak_tr, sponge.trace]
+    else:
+        logic_tr, _ = logic.generate_trace(res.logic_requests, 1 << sizes.logic)
+        mem_tr = memory.generate_trace(res.mem_ops + bp_mem_ops, 1 << sizes.memory)
+        traces = [res.trace, arith_tr, logic_tr, bp_tr, mem_tr]
 
-    starks = [
-        cpu,
-        arithmetic.ArithmeticStark(),
-        logic.LogicStark(),
-        bytepacking.BytePackingStark(),
-        memory.MemoryStark(),
-    ]
-    traces = [res.trace, arith_tr, logic_tr, bp_tr, mem_tr]
-    pis: List[List[int]] = [pi_limbs(pi_words), [], [], [], []]
-    proof = prove_multi(starks, traces, pis, build_ctls(cpu), config)
+    starks = all_starks(cpu, with_keccak)
+    pis: List[List[int]] = [pi_limbs(pi_words)] + [[]] * (len(starks) - 1)
+    proof = prove_multi(starks, traces, pis, build_ctls(cpu, with_keccak), config)
     return proof, res
 
 
@@ -89,16 +136,11 @@ def verify_all_tables(
     proof: MultiProof,
     config: StarkConfig,
 ) -> bool:
-    starks = [
-        cpu,
-        arithmetic.ArithmeticStark(),
-        logic.LogicStark(),
-        bytepacking.BytePackingStark(),
-        memory.MemoryStark(),
-    ]
+    with_keccak = len(proof.proofs) == 7
+    starks = all_starks(cpu, with_keccak)
     if len(proof.proofs) != len(starks):
         return False
     # the CPU proof must carry exactly the claimed public inputs
     if proof.proofs[T_CPU].public_inputs != pi_limbs(pi_words):
         return False
-    return verify_multi(starks, proof, build_ctls(cpu), config)
+    return verify_multi(starks, proof, build_ctls(cpu, with_keccak), config)

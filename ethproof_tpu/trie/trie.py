@@ -104,6 +104,31 @@ class PartialTrie:
         """
         return PartialTrie(_trim(self.root, keys))
 
+    def prove(self, key: Nibbles) -> List[bytes]:
+        """Merkle proof: the RLP encodings of all HASHED nodes on the path
+        to `key`, root first — the shape `eth_getProof` returns. Embedded
+        (<32-byte) nodes live inside their parent's RLP and are not listed.
+        """
+        out: List[bytes] = []
+        node = self.root
+        while True:
+            if isinstance(node, (Empty, Hash)):
+                return out
+            enc = _node_rlp_encoded(node)
+            if len(enc) >= 32:
+                out.append(enc)
+            if isinstance(node, Leaf):
+                return out
+            if isinstance(node, Extension):
+                if not key.starts_with(node.key):
+                    return out
+                key = key[len(node.key) :]
+                node = node.child
+            elif isinstance(node, Branch):
+                if len(key) == 0:
+                    return out
+                node, key = node.children[key[0]], key[1:]
+
 
 # -- internals ---------------------------------------------------------------
 

@@ -27,6 +27,29 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: proving tests too heavy for the CPU tier (run with --runslow "
+        "or on TPU via the verify recipe)",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False)
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow proving test (use --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 # Persistent XLA compilation cache: the kernels compile big uint32 graphs;
 # caching across pytest processes turns ~30s per distinct shape into ~ms.
 jax.config.update("jax_compilation_cache_dir", "/tmp/ethproof_jax_cache_cpu")

@@ -105,7 +105,7 @@ class TestMerkle:
         rows_np = rand_u64((5, 8))
         tree = merkle.build(gfp.from_u64(rows_np), cap_height=0)
         digests = [
-            ps.hash_n_to_m_no_pad_host([int(x) for x in rows_np[:, i]])
+            ps.tree_digest_host([int(x) for x in rows_np[:, i]])
             for i in range(8)
         ]
         while len(digests) > 1:
@@ -115,3 +115,10 @@ class TestMerkle:
             ]
         root = gfp.to_u64(tree.cap)[:, 0]
         assert [int(x) for x in root] == digests[0]
+
+    def test_tree_digest_wide_matches_host(self):
+        rows_np = rand_u64((23, 4))
+        dev = gfp.to_u64(ps.tree_digest(gfp.from_u64(rows_np)))
+        for lane in range(4):
+            host = ps.tree_digest_host([int(x) for x in rows_np[:, lane]])
+            assert [int(v) for v in dev[:, lane]] == host

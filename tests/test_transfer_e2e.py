@@ -41,7 +41,10 @@ CFG = StarkConfig(
         final_poly_bits=2,
     ),
 )
-SIZES = TableSizes(cpu=5, arithmetic=6, logic=4, bytepacking=9, memory=7)
+# default CPU tier: 5 tables (transfers issue no hash requests; the keccak
+# pair is covered by test_keccak_sponge and the slow 7-table test below)
+SIZES = TableSizes(cpu=5, arithmetic=6, logic=4, bytepacking=9, memory=7, keccak=None)
+SIZES7 = TableSizes(cpu=5, arithmetic=6, logic=4, bytepacking=9, memory=7)
 
 PK = 0x1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF
 
@@ -118,3 +121,12 @@ class TestTransferE2E:
         gi = make_transfer_witness(tamper_root=True)
         proof = prove_transfer(gi, CFG, SIZES)
         assert not verify_transfer(proof, CFG)
+
+
+@pytest.mark.slow
+class TestTransferSevenTables:
+    def test_full_seven_table_proof(self):
+        gi = make_transfer_witness()
+        proof = prove_transfer(gi, CFG, SIZES7)
+        assert len(proof.multi.proofs) == 7
+        assert verify_transfer(proof, CFG)
