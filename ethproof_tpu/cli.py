@@ -92,9 +92,16 @@ def cmd_prove(args) -> int:
     set_prover_state_from_config(config, persistence=args.persistence)
     with open(args.input_witness) as f:
         ir = witness_from_json(json.load(f))
+    from .tables.all import TableSizes
+
     runtime = Runtime(num_workers=args.num_workers)
     try:
-        bp = prove_block(ir, standard_fast_config(), runtime=runtime)
+        bp = prove_block(
+            ir,
+            standard_fast_config(),
+            sizes=TableSizes.from_config(config),
+            runtime=runtime,
+        )
     finally:
         runtime.close()
     json.dump(serde.block_proof_to_json(bp), sys.stdout)

@@ -29,16 +29,45 @@ from .tracing import span
 
 
 class Runtime:
-    """In-memory runtime (reference --runtime in-memory)."""
+    """In-memory runtime (reference --runtime in-memory).
 
-    def __init__(self, num_workers: int = 1):
+    Transient failures retry with backoff; `FatalError` aborts the job —
+    the paladin retry/fatal split (reference ops/src/lib.rs:52 + the
+    backoff dep, SURVEY.md §5.3).
+    """
+
+    def __init__(self, num_workers: int = 1, max_retries: int = 2):
         self.num_workers = max(1, num_workers)
+        self.max_retries = max_retries
+
+    def _run_one(self, fn: Callable, item):
+        import time as _time
+
+        from .ops import FatalError
+        from .tracing import logger
+
+        delay = 1.0
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(item)
+            except FatalError:
+                raise
+            except Exception as e:
+                if attempt == self.max_retries:
+                    raise
+                logger.warning(
+                    "task failed (%s); retry %d/%d in %.0fs",
+                    e, attempt + 1, self.max_retries, delay,
+                )
+                _time.sleep(delay)
+                delay *= 2
 
     def map(self, fn: Callable, items: Sequence):
+        one = lambda x: self._run_one(fn, x)
         if self.num_workers == 1 or len(items) <= 1:
-            return [fn(x) for x in items]
+            return [one(x) for x in items]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            return list(pool.map(fn, items))
+            return list(pool.map(one, items))
 
     def close(self) -> None:
         pass

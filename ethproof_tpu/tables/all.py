@@ -80,6 +80,24 @@ class TableSizes:
     keccak: "int | None" = 5
     keccak_sponge: int = 8
 
+    @classmethod
+    def from_config(cls, config) -> "TableSizes":
+        """Derive sizes from a runtime CircuitConfig: each table proves at
+        the SMALLEST degree in its configured range that fits the trace
+        (the reference's recursion ladder covers the whole range; our
+        fixed-shape-per-run model picks the floor and grows on demand —
+        shapes are what the compilation cache is keyed on)."""
+        r = config.ranges
+        return cls(
+            cpu=r["cpu"].start,
+            arithmetic=r["arithmetic"].start,
+            logic=r["logic"].start,
+            bytepacking=r["byte_packing"].start,
+            memory=r["memory"].start,
+            keccak=r["keccak"].start,
+            keccak_sponge=r["keccak_sponge"].start,
+        )
+
 
 def all_starks(cpu: CpuStark, with_keccak: bool = True):
     out = [

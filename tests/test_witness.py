@@ -224,3 +224,124 @@ class TestGatherWitness:
         assert back[1].tries.state_trie.hash() == ir[1].tries.state_trie.hash()
         assert back[0].trie_roots_after.state_root == ir[0].trie_roots_after.state_root
         assert back[1].block_metadata.block_bloom == ir[1].block_metadata.block_bloom
+
+
+class FakeRpc2Tx(FakeRpc):
+    """Two transfers in one block: A->B then B->A (fees to M)."""
+
+    def __init__(self):
+        super().__init__()
+        self.raw_tx2 = b"\xf8\x64" + b"\x02" * 100
+        self.tx2_hash = "0x" + keccak256(self.raw_tx2).hex()
+        # mid state = post of tx1 (already computed by super as post_state)
+        self.mid_state = self.post_state
+        self.mid_balances = dict(self.post_balances)
+        v2, f2 = 500, 300  # B only holds 1005 wei mid-block
+        final_bal = dict(self.mid_balances)
+        final_bal[B] -= v2 + f2
+        final_bal[A] += v2
+        final_bal[M] += f2
+        self.final_balances = final_bal
+        self.final_state = make_state(final_bal, {A: 5, B: 1})
+        self.v2, self.f2 = v2, f2
+
+        self.txns_trie.insert(
+            Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(1))), self.raw_tx2
+        )
+        receipt2 = rlp.encode(
+            [rlp.int_to_bytes(1), rlp.int_to_bytes(42000), b"\x00" * 256, []]
+        )
+        self.receipts_trie.insert(
+            Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(1))), receipt2
+        )
+
+    def _block_header(self, n):
+        hdr = super()._block_header(n)
+        if n == self.block_number:
+            hdr["stateRoot"] = "0x" + self.final_state.hash().hex()
+            hdr["gasUsed"] = hex(42000)
+            hdr["transactions"] = [self.tx_hash, self.tx2_hash]
+        return hdr
+
+    def _eth_getTransactionByHash(self, h):
+        if h == self.tx2_hash:
+            return {
+                "hash": self.tx2_hash,
+                "blockNumber": hex(self.block_number),
+                "transactionIndex": "0x1",
+            }
+        return super()._eth_getTransactionByHash(h)
+
+    def _eth_getTransactionReceipt(self, h):
+        base = super()._eth_getTransactionReceipt(h)
+        if h == self.tx2_hash:
+            base.update(
+                {
+                    "transactionIndex": "0x1",
+                    "cumulativeGasUsed": hex(42000),
+                }
+            )
+        return base
+
+    def _eth_getRawTransactionByHash(self, h):
+        return "0x" + (self.raw_tx2.hex() if h == self.tx2_hash else self.raw_tx.hex())
+
+    def _eth_getProof(self, address, slots, num_hex):
+        state = (
+            self.final_state
+            if int(num_hex, 16) == self.block_number
+            else self.pre_state
+        )
+        return {
+            "accountProof": ["0x" + p.hex() for p in state.prove(acct_key(address))],
+            "storageHash": "0x" + PartialTrie().hash().hex(),
+            "storageProof": [],
+        }
+
+    def _debug_traceTransaction(self, h, opts):
+        diff_mode = opts.get("tracerConfig", {}).get("diffMode")
+        if h == self.tx2_hash:
+            if diff_mode:
+                return {
+                    "pre": {
+                        A: {"balance": hex(self.mid_balances[A]), "nonce": 5},
+                        B: {"balance": hex(self.mid_balances[B]), "nonce": 0},
+                        M: {"balance": hex(self.mid_balances[M])},
+                    },
+                    "post": {
+                        A: {"balance": hex(self.final_balances[A])},
+                        B: {"balance": hex(self.final_balances[B]), "nonce": 1},
+                        M: {"balance": hex(self.final_balances[M])},
+                    },
+                }
+            return {
+                A: {"balance": hex(self.mid_balances[A]), "nonce": 5},
+                B: {"balance": hex(self.mid_balances[B])},
+                M: {"balance": hex(self.mid_balances[M])},
+            }
+        return super()._debug_traceTransaction(h, opts)
+
+
+class TestTwoTxWitness:
+    def setup_method(self):
+        self.chain = FakeRpc2Tx()
+        self.client = RpcClient("fake://", transport=self.chain.transport)
+
+    def test_two_payloads_chain(self):
+        ir = gather_witness(self.chain.tx2_hash, self.client)
+        assert len(ir) == 2  # two real txs, no padding needed
+        assert ir[0].signed_txn == self.chain.raw_tx
+        assert ir[1].signed_txn == self.chain.raw_tx2
+        # roots chain: tx1 after == tx2 before
+        assert ir[0].trie_roots_after.state_root == self.chain.mid_state.hash()
+        assert ir[1].tries.state_trie.hash() == self.chain.mid_state.hash()
+        assert ir[1].trie_roots_after.state_root == self.chain.final_state.hash()
+        # gas chains
+        assert ir[0].gas_used_after == 21000
+        assert ir[1].gas_used_before == 21000
+        assert ir[1].gas_used_after == 42000
+        assert ir[1].txn_number_before == 1
+        # final roots come from the header
+        assert (
+            ir[1].trie_roots_after.transactions_root == self.chain.txns_trie.hash()
+        )
