@@ -48,7 +48,29 @@ def ext_scale(x: Ext, s: int) -> Ext:
     return (x[0] * s % P, x[1] * s % P)
 
 
-def _verify_merkle(leaf_elems: List[int], index: int, path: np.ndarray, cap: np.ndarray) -> bool:
+def _verify_merkle(
+    leaf_elems: List[int],
+    index: int,
+    path: np.ndarray,
+    cap: np.ndarray,
+    expected_path_len: "int | None" = None,
+) -> bool:
+    """Structural violations (wrong cap/path shape, index out of range)
+    return False rather than raising — adversarial proofs must never
+    crash the verifier."""
+    cap = np.asarray(cap)
+    if cap.ndim != 2 or cap.shape[0] != 4 or cap.shape[1] == 0:
+        return False
+    cap_w = int(cap.shape[1])
+    if cap_w & (cap_w - 1):
+        return False
+    path = np.asarray(path)
+    if path.ndim != 2 or path.shape[1] != 4:
+        return False
+    if expected_path_len is not None and path.shape[0] != expected_path_len:
+        return False
+    if not 0 <= index < (cap_w << int(path.shape[0])):
+        return False
     digest = poseidon.tree_digest_host(leaf_elems)
     idx = index
     for lvl in range(path.shape[0]):
@@ -108,11 +130,18 @@ def fri_verify(
             leaves = m // arity
             j = idx % leaves
             qr = proof.query_rounds[r]
+            if qr.leaf_values.ndim != 3 or qr.leaf_values.shape[1:] != (arity, 2):
+                return False, []
+            if qr.leaf_values.shape[0] <= q or qr.merkle_paths.shape[0] <= q:
+                return False, []
             vals = qr.leaf_values[q]  # (arity, 2)
             w = [(int(vals[k, 0]), int(vals[k, 1])) for k in range(arity)]
             # leaf row layout: [a_0, b_0, a_1, b_1, ...]
             leaf_elems = [x for v in w for x in v]
-            if not _verify_merkle(leaf_elems, j, qr.merkle_paths[q], proof.commit_caps[r]):
+            exp_len = max(leaves.bit_length() - 1 - config.cap_height, 0)
+            if not _verify_merkle(
+                leaf_elems, j, qr.merkle_paths[q], proof.commit_caps[r], exp_len
+            ):
                 return False, []
             # cross-round consistency: this leaf must contain the previous fold
             k_here = idx // leaves

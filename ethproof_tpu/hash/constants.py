@@ -1,9 +1,9 @@
 """Poseidon parameters for Goldilocks, width 12.
 
-Shape of the permutation matches plonky2's `Poseidon` for `GoldilocksField`
-(reference dep pin /root/reference/Cargo.lock:3441): state width t = 12,
-S-box x^7, 8 full rounds (4 + 4) around 22 partial rounds, circulant-plus-
-diagonal MDS matrix, 30 * 12 = 360 round constants.
+Dimensions match plonky2's `Poseidon` for `GoldilocksField` (reference dep
+pin /root/reference/Cargo.lock:3441): state width t = 12, S-box x^7,
+circulant-plus-diagonal MDS matrix, 30 rounds, 30 * 12 = 360 round
+constants.
 
 Round constants are generated with the Grain-LFSR procedure from the Poseidon
 paper's reference implementation (`generate_parameters_grain.sage`), seeded
@@ -11,10 +11,23 @@ with (field=GF(p), sbox=x^alpha, n=64, t=12, R_F=8, R_P=22). The generator is
 below (`grain_round_constants`) and runs at import time; the procedure is
 deterministic so the constants are stable across runs/hosts.
 
-NOTE on plonky2 parity: plonky2 ships a literal `ALL_ROUND_CONSTANTS` table.
-If bit-exact hash parity with the upstream verifier is required, replace
-`ALL_ROUND_CONSTANTS` here with that table — every consumer reads only this
-module. The permutation structure (round order, MDS, S-box) is identical.
+PLONKY2 PARITY (decided, see BASELINE.md "Proof-validity scope"): this
+framework's transcript hash is deliberately NOT bit-exact with plonky2's.
+Two divergences, both load-bearing:
+  1. These Grain constants differ from plonky2's literal
+     `ALL_ROUND_CONSTANTS` table (which cannot be re-derived offline —
+     it is a hardcoded artifact of plonky2's repo, not of the Grain
+     procedure with documented parameters).
+  2. hash/poseidon.py applies the full-width S-box in ALL 30 rounds,
+     where plonky2 S-boxes only lane 0 during its 22 partial rounds.
+     The all-full-rounds schedule is a TPU/XLA choice (no lane mask in
+     the fused scan body — see ARCHITECTURE.md) and is strictly
+     stronger cryptographically; restoring parity would require BOTH
+     the literal constant table AND the 4+22+4 partial schedule.
+Proof validity is therefore defined against this framework's own
+host-side verifier (stark/verify.py), which shares no device code with
+the prover. Every consumer reads only this module, so a future parity
+swap remains a one-module change plus the poseidon.py schedule.
 """
 
 from __future__ import annotations

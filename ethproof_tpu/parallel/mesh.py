@@ -40,6 +40,37 @@ def make_mesh(n_devices: Optional[int] = None, tx: int = 1) -> Mesh:
     return Mesh(arr, axis_names=("tx", "col"))
 
 
+def mesh_width(mesh: Mesh) -> int:
+    return mesh.shape["col"]
+
+
+def shard_gf(a: GF, mesh: Mesh, axis: int) -> GF:
+    """Place a 2D GF array with `axis` sharded over the mesh 'col' axis.
+
+    This is the production prover's layout control (stark/prove.py):
+    columns (axis 0) are sharded through the per-column iNTT/LDE — each
+    device transforms its own column block with zero communication — and
+    the LDE is then resharded to the DOMAIN axis (axis 1) for Merkle leaf
+    hashing and the constraint sweep, both elementwise in the domain. The
+    reshard between the two stages is one all-to-all riding ICI — the NTT
+    "transpose" of SURVEY §5.7.
+    """
+    spec: list = [None, None]
+    spec[axis] = "col"
+    s = NamedSharding(mesh, P(*spec))
+    return GF(jax.device_put(a.lo, s), jax.device_put(a.hi, s))
+
+
+def pad_cols(a: GF, multiple: int) -> GF:
+    """Zero-pad axis 0 up to a multiple (sharding divisibility)."""
+    cols = a.lo.shape[0]
+    pad = (-cols) % multiple
+    if pad == 0:
+        return a
+    z = jnp.zeros((pad, a.lo.shape[1]), dtype=a.lo.dtype)
+    return GF(jnp.concatenate([a.lo, z]), jnp.concatenate([a.hi, z]))
+
+
 def trace_commit_sharded(mesh: Mesh, cols: int, n: int, rate_bits: int = 2,
                          cap_height: int = 2, shift: int = 7):
     """Build a jitted column-sharded trace-commit step on `mesh`.

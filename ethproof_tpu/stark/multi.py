@@ -25,14 +25,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..gf import field as gfp
 from ..gf import field_host as fh
 from ..fri.challenger import Challenger
 from ..fri.config import StarkConfig
-from ..hash import merkle
-from ..poly import ntt as nttm
-from ..poly import mxu_ntt as mxnt
-from .prove import StarkProof, stark_prove
+from .prove import StarkProof, commit_trace, stark_prove
 from .stark import CtlInstance, CtlSpec, Stark
 from .verify import stark_verify
 
@@ -50,15 +46,6 @@ class CrossTableLookup:
 @dataclass
 class MultiProof:
     proofs: List[StarkProof]
-
-
-def _trace_cap(trace: np.ndarray, config: StarkConfig) -> np.ndarray:
-    trace_gf = gfp.from_u64(trace)
-    lde = mxnt.best_coset_lde(
-        mxnt.best_intt(trace_gf), config.fri_config.rate_bits, config.fri_config.coset_shift
-    )
-    tree = merkle.build(lde, config.fri_config.cap_height)
-    return gfp.to_u64(tree.cap)
 
 
 def _instances_for_table(
@@ -107,10 +94,13 @@ def prove_multi(
     public_inputs: List[List[int]],
     ctls: List[CrossTableLookup],
     config: StarkConfig,
+    mesh=None,
 ) -> MultiProof:
     assert len(starks) == len(traces) == len(public_inputs)
     challenger = Challenger()
-    caps = [_trace_cap(tr, config) for tr in traces]
+    # one commit per table, reused by stark_prove (no duplicate LDE/tree)
+    commitments = [commit_trace(tr, config, mesh) for tr in traces]
+    caps = [cm.cap for cm in commitments]
     degree_bits = [tr.shape[1].bit_length() - 1 for tr in traces]
     _pre_phase(challenger, public_inputs, degree_bits, caps)
     challenges = [
@@ -125,6 +115,8 @@ def prove_multi(
                 stark, trace, pis, config,
                 challenger=challenger,
                 ctl_instances=instances or None,
+                commitment=commitments[t],
+                mesh=mesh,
             )
         )
     return MultiProof(proofs=proofs)

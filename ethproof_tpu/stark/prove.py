@@ -27,7 +27,7 @@ every table's trace cap; see multi.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import jax
@@ -60,11 +60,93 @@ P = fh.P
 
 
 @dataclass
+class TraceCommitment:
+    """One trace commit (iNTT -> coset LDE -> Merkle tree), reusable.
+
+    prove_multi's pre-phase needs every table's cap before any challenge
+    is drawn; passing the commitment into stark_prove avoids recomputing
+    the identical LDE + tree (the dominant per-proof cost) a second time.
+    """
+
+    trace_gf: GF  # (cols, n) original trace values
+    coeffs: GF  # (cols, n) coefficient form
+    lde: GF  # (cols, n << rate_bits) coset LDE
+    tree: object  # merkle tree
+    cap: np.ndarray  # (4, 2^cap_height) u64
+
+
+def commit_trace(
+    trace: np.ndarray, config: StarkConfig, mesh=None
+) -> TraceCommitment:
+    """One trace commit; with `mesh`, sharded over the mesh 'col' axis:
+    columns through the per-column iNTT/LDE (zero communication), then an
+    all-to-all reshard to the domain axis for Merkle hashing — the NTT
+    transpose of SURVEY §5.7. Proofs are bit-identical with/without a
+    mesh (same arithmetic, different placement)."""
+    fri_cfg = config.fri_config
+    trace_gf = gfp.from_u64(trace)
+    coeffs, lde, tree = _commit_gf(trace_gf, config, mesh)
+    return TraceCommitment(
+        trace_gf=trace_gf, coeffs=coeffs, lde=lde, tree=tree,
+        cap=gfp.to_u64(tree.cap),
+    )
+
+
+def _commit_gf(a: GF, config: StarkConfig, mesh=None):
+    """(coeffs, lde, tree) for a (cols, n) GF matrix; see commit_trace."""
+    fri_cfg = config.fri_config
+    if mesh is not None:
+        from ..parallel.mesh import mesh_width, pad_cols, shard_gf
+
+        w = mesh_width(mesh)
+        cols = a.lo.shape[0]
+        padded = shard_gf(pad_cols(a, w), mesh, axis=0)
+        coeffs_p = mxnt.best_intt(padded)
+        lde_p = mxnt.best_coset_lde(
+            coeffs_p, fri_cfg.rate_bits, fri_cfg.coset_shift
+        )
+        # drop padding, reshard to the domain axis for hashing/sweeps
+        coeffs = shard_gf(
+            GF(coeffs_p.lo[:cols], coeffs_p.hi[:cols]), mesh, axis=1
+        )
+        lde = shard_gf(GF(lde_p.lo[:cols], lde_p.hi[:cols]), mesh, axis=1)
+    else:
+        coeffs = mxnt.best_intt(a)
+        lde = mxnt.best_coset_lde(coeffs, fri_cfg.rate_bits, fri_cfg.coset_shift)
+    tree = merkle.build(lde, fri_cfg.cap_height)
+    return coeffs, lde, tree
+
+
+def fixed_commitment(
+    stark: Stark, n: int, config: StarkConfig, mesh=None
+) -> TraceCommitment:
+    """Commitment to the preprocessed (fixed) columns — the table's
+    verification key, analogous to plonky2's `constants_sigmas_cap`
+    (reference dep pin /root/reference/Cargo.lock:3441). Deterministic per
+    (stark instance, n, config); cached (latest size only) because it is
+    reused across every proof of the same shape AND by the verifier as
+    trusted setup data. Committing — rather than the verifier analytically
+    evaluating fixed polys at zeta — is what makes the verifier cheap
+    enough to arithmetize for recursion (recursion/verifier_circuit.py)."""
+    cache = stark.__dict__.setdefault("_fixed_cm_cache", {})
+    mesh_key = tuple(sorted(mesh.shape.items())) if mesh is not None else None
+    key = (n, config.fri_config.rate_bits, config.fri_config.cap_height, mesh_key)
+    if key not in cache:
+        cache.clear()  # hold at most one size: the LDE is the big object
+        cache[key] = commit_trace(stark.fixed_columns(n), config, mesh)
+    return cache[key]
+
+
+@dataclass
 class TreeOpenings:
     """Openings of one oracle tree at the FRI query indices."""
 
     values: np.ndarray  # (num_q, num_rows) u64 — leaf rows at each index
     paths: np.ndarray  # (num_q, path_len, 4) u64
+
+
+def _empty_ext() -> np.ndarray:
+    return np.zeros((0, 2), dtype=np.uint64)
 
 
 @dataclass
@@ -74,12 +156,16 @@ class StarkOpenings:
     aux_at_zeta: np.ndarray  # (num_ctl_instances, 2)
     aux_at_gzeta: np.ndarray  # (num_ctl_instances, 2)
     quotient_at_zeta: np.ndarray  # (num_challenges * chunks, 2)
+    fixed_at_zeta: np.ndarray = field(default_factory=_empty_ext)  # (num_fixed, 2)
+    fixed_at_gzeta: np.ndarray = field(default_factory=_empty_ext)  # (num_fixed, 2)
 
     def transcript_elements(self) -> List[int]:
         out: List[int] = []
         for arr in (
             self.trace_at_zeta,
             self.trace_at_gzeta,
+            self.fixed_at_zeta,
+            self.fixed_at_gzeta,
             self.aux_at_zeta,
             self.aux_at_gzeta,
             self.quotient_at_zeta,
@@ -101,6 +187,9 @@ class StarkProof:
     trace_query_openings: TreeOpenings
     aux_query_openings: Optional[TreeOpenings]
     quotient_query_openings: TreeOpenings
+    # openings of the fixed-column (vkey) oracle; None when the table has
+    # no fixed columns
+    fixed_query_openings: Optional[TreeOpenings] = None
 
 
 # -- device helpers ----------------------------------------------------------
@@ -222,11 +311,20 @@ def _ctl_z_columns(trace_gf: GF, instances: List[CtlInstance], fixed_gf: Optiona
     return jax.lax.associative_scan(gfp.mul, fstack, axis=1)
 
 
-def _lookup_aux_columns(trace_gf: GF, stark: Stark, alphas: List[int]) -> Optional[GF]:
-    """logUp witness columns, layout: per spec, per alpha: h_0..h_k-1, g, S."""
+def _lookup_aux_columns(
+    trace_gf: GF, stark: Stark, alphas: List[int], fixed_gf: Optional[GF] = None
+) -> Optional[GF]:
+    """logUp witness columns, layout: per spec, per alpha: h_0..h_k-1, g, S.
+
+    Column indices >= num trace columns address fixed (preprocessed)
+    columns — used by the range-check tables, whose range column is part
+    of the circuit definition (zero prover freedom).
+    """
     if not stark.lookups:
         return None
     cols = _rows(trace_gf)
+    if fixed_gf is not None:
+        cols = cols + _rows(fixed_gf)
     n = trace_gf.lo.shape[-1]
     rows_lo, rows_hi = [], []
     for spec in stark.lookups:
@@ -272,6 +370,8 @@ def stark_prove(
     config: StarkConfig,
     challenger: Optional[Challenger] = None,
     ctl_instances: Optional[List[CtlInstance]] = None,
+    commitment: Optional[TraceCommitment] = None,
+    mesh=None,
 ) -> StarkProof:
     fri_cfg = config.fri_config
     cols, n = trace.shape
@@ -288,40 +388,54 @@ def stark_prove(
     challenger.observe_elements([x % P for x in public_inputs])
     challenger.observe_element(log_n)
 
-    # 1. trace commit
-    trace_gf = gfp.from_u64(trace)
-    trace_coeffs = mxnt.best_intt(trace_gf)
-    trace_lde = mxnt.best_coset_lde(trace_coeffs, rate_bits, shift)
-    trace_tree = merkle.build(trace_lde, fri_cfg.cap_height)
-    trace_cap = gfp.to_u64(trace_tree.cap)
+    # 0. fixed-column (vkey) commitment — observed before the trace cap,
+    # binding the circuit identity into the transcript (plonky2 observes
+    # the circuit digest the same way [dep: Cargo.lock:3441])
+    fixed_cm: Optional[TraceCommitment] = None
+    if stark.num_fixed_columns:
+        fixed_cm = fixed_commitment(stark, n, config, mesh)
+        challenger.observe_cap(fixed_cm.cap)
+
+    # 1. trace commit (reused from the multi-table pre-phase if provided)
+    if commitment is None:
+        commitment = commit_trace(trace, config, mesh)
+    trace_gf = commitment.trace_gf
+    trace_coeffs = commitment.coeffs
+    trace_lde = commitment.lde
+    trace_tree = commitment.tree
+    trace_cap = commitment.cap
     challenger.observe_cap(trace_cap)
 
-    # 2. aux commit: CTL Z columns + logUp witness columns
+    # 2. aux commit: CTL Z columns + logUp witness columns + custom aux
     lookup_alphas: List[int] = []
     if stark.lookups:
         lookup_alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
+    aux_challenges = [
+        challenger.get_challenge()
+        for _ in range(stark.num_aux_challenges(config.num_challenges))
+    ]
     aux_tree = aux_lde = aux_coeffs = None
     aux_cap = None
     ctl_totals: List[int] = []
     aux_parts: List[GF] = []
-    fixed_gf_h = (
-        gfp.from_u64(stark.fixed_columns(n)) if stark.num_fixed_columns else None
-    )
+    fixed_gf_h = fixed_cm.trace_gf if fixed_cm is not None else None
     if instances:
         z_cols = _ctl_z_columns(trace_gf, instances, fixed_gf_h)  # (k, n)
         ctl_totals = [int(v) for v in gfp.to_u64(GF(z_cols.lo[:, -1], z_cols.hi[:, -1]))]
         aux_parts.append(z_cols)
-    lk_cols = _lookup_aux_columns(trace_gf, stark, lookup_alphas)
+    lk_cols = _lookup_aux_columns(trace_gf, stark, lookup_alphas, fixed_gf_h)
     if lk_cols is not None:
         aux_parts.append(lk_cols)
+    if stark.num_custom_aux(config.num_challenges):
+        aux_parts.append(
+            stark.custom_aux_columns(trace_gf, fixed_gf_h, aux_challenges)
+        )
     if aux_parts:
         aux_all = GF(
             jnp.concatenate([p.lo for p in aux_parts]),
             jnp.concatenate([p.hi for p in aux_parts]),
         )
-        aux_coeffs = mxnt.best_intt(aux_all)
-        aux_lde = mxnt.best_coset_lde(aux_coeffs, rate_bits, shift)
-        aux_tree = merkle.build(aux_lde, fri_cfg.cap_height)
+        aux_coeffs, aux_lde, aux_tree = _commit_gf(aux_all, config, mesh)
         aux_cap = gfp.to_u64(aux_tree.cap)
         challenger.observe_cap(aux_cap)
         if instances:
@@ -332,6 +446,9 @@ def stark_prove(
     quotient_lde, quotient_tree = _compute_quotient(
         stark, trace_lde, aux_lde, instances, ctl_totals, lookup_alphas,
         public_inputs, alphas, log_n, rate_bits, shift, fri_cfg,
+        fixed_lde=fixed_cm.lde if fixed_cm is not None else None,
+        aux_challenges=aux_challenges,
+        num_challenges=config.num_challenges,
     )
     quotient_cap = gfp.to_u64(quotient_tree.cap)
     challenger.observe_cap(quotient_cap)
@@ -343,9 +460,12 @@ def stark_prove(
     quotient_coeffs = mxnt.best_coset_intt(quotient_lde, shift)
     empty = GF(jnp.zeros((0, n), dtype=jnp.uint32), jnp.zeros((0, n), dtype=jnp.uint32))
     aux_c = aux_coeffs if aux_coeffs is not None else empty
+    fixed_c = fixed_cm.coeffs if fixed_cm is not None else empty
     openings = StarkOpenings(
         trace_at_zeta=eval_at_ext_point(trace_coeffs, zeta),
         trace_at_gzeta=eval_at_ext_point(trace_coeffs, gzeta),
+        fixed_at_zeta=eval_at_ext_point(fixed_c, zeta),
+        fixed_at_gzeta=eval_at_ext_point(fixed_c, gzeta),
         aux_at_zeta=eval_at_ext_point(aux_c, zeta),
         aux_at_gzeta=eval_at_ext_point(aux_c, gzeta),
         quotient_at_zeta=eval_at_ext_point(
@@ -359,6 +479,7 @@ def stark_prove(
     comp = _deep_composition(
         trace_lde, aux_lde, quotient_lde, openings, zeta, gzeta, fri_alpha,
         log_n, rate_bits, shift,
+        fixed_lde=fixed_cm.lde if fixed_cm is not None else None,
     )
 
     # 6. FRI + oracle query openings
@@ -378,6 +499,11 @@ def stark_prove(
             _open_tree(aux_tree, aux_lde, idx) if aux_tree is not None else None
         ),
         quotient_query_openings=_open_tree(quotient_tree, quotient_lde, idx),
+        fixed_query_openings=(
+            _open_tree(fixed_cm.tree, fixed_cm.lde, idx)
+            if fixed_cm is not None
+            else None
+        ),
     )
 
 
@@ -394,6 +520,9 @@ def _compute_quotient(
     rate_bits: int,
     shift: int,
     fri_cfg,
+    fixed_lde: Optional[GF] = None,
+    aux_challenges: Optional[List[int]] = None,
+    num_challenges: int = 2,
 ):
     n = 1 << log_n
     m = n << rate_bits
@@ -416,8 +545,7 @@ def _compute_quotient(
     fixed_local: List[GF] = []
     fixed_next: List[GF] = []
     if stark.num_fixed_columns:
-        fixed_gf = gfp.from_u64(stark.fixed_columns(n))
-        fixed_lde = mxnt.best_coset_lde(mxnt.best_intt(fixed_gf), rate_bits, shift)
+        assert fixed_lde is not None, "fixed tables must pass the committed LDE"
         fixed_local = _rows(fixed_lde)
         fixed_next = _rows(_roll_cols(fixed_lde, rate))
     pis = [ops.constant(int(x)) for x in public_inputs]
@@ -439,11 +567,17 @@ def _compute_quotient(
             for alpha in lookup_alphas:
                 w = lookup_aux_count(spec)
                 eval_lookup_constraints(
-                    ops, consumer, local, nxt,
+                    ops, consumer, local + fixed_local, nxt + fixed_next,
                     aux_local[off : off + w], aux_next[off : off + w],
                     spec, alpha,
                 )
                 off += w
+        k_custom = stark.num_custom_aux(num_challenges)
+        if k_custom:
+            stark.eval_custom(
+                ctx, aux_local[off : off + k_custom],
+                aux_next[off : off + k_custom], aux_challenges or [],
+            )
 
     zh_inv = gfp.inv(zh)
     chunks = stark.quotient_chunks(bool(instances))
@@ -525,45 +659,45 @@ def _deep_composition(
     log_n: int,
     rate_bits: int,
     shift: int,
+    fixed_lde: Optional[GF] = None,
 ) -> GF2:
     """comp(x) = (B0(x)-y0)/(x-zeta) + (B1(x)-y1)/(x-g*zeta).
 
-    batch0 (opened at zeta): trace + aux + quotient rows, weights a^0..;
-    batch1 (opened at g*zeta): trace + aux rows, weights continue a^K...
+    batch0 (opened at zeta): trace + fixed + aux + quotient rows, weights
+    a^0..; batch1 (opened at g*zeta): trace + fixed + aux rows, weights
+    continue a^K... — fixed rows ride the same DEEP batches so the
+    fixed-at-zeta openings the verifier consumes are FRI-bound.
     """
     m = 1 << (log_n + rate_bits)
     xs = _domain_points(log_n + rate_bits, shift)
 
+    parts0 = [trace_lde]
+    parts1 = [trace_lde]
+    open0 = list(openings.trace_at_zeta)
+    open1 = list(openings.trace_at_gzeta)
+    if fixed_lde is not None:
+        parts0.append(fixed_lde)
+        parts1.append(fixed_lde)
+        open0 += list(openings.fixed_at_zeta)
+        open1 += list(openings.fixed_at_gzeta)
     if aux_lde is not None:
-        b0_rows = GF(
-            jnp.concatenate([trace_lde.lo, aux_lde.lo, quotient_lde.lo]),
-            jnp.concatenate([trace_lde.hi, aux_lde.hi, quotient_lde.hi]),
-        )
-        b1_rows = GF(
-            jnp.concatenate([trace_lde.lo, aux_lde.lo]),
-            jnp.concatenate([trace_lde.hi, aux_lde.hi]),
-        )
-        open0 = [
-            (int(v[0]), int(v[1]))
-            for v in list(openings.trace_at_zeta)
-            + list(openings.aux_at_zeta)
-            + list(openings.quotient_at_zeta)
-        ]
-        open1 = [
-            (int(v[0]), int(v[1]))
-            for v in list(openings.trace_at_gzeta) + list(openings.aux_at_gzeta)
-        ]
-    else:
-        b0_rows = GF(
-            jnp.concatenate([trace_lde.lo, quotient_lde.lo]),
-            jnp.concatenate([trace_lde.hi, quotient_lde.hi]),
-        )
-        b1_rows = trace_lde
-        open0 = [
-            (int(v[0]), int(v[1]))
-            for v in list(openings.trace_at_zeta) + list(openings.quotient_at_zeta)
-        ]
-        open1 = [(int(v[0]), int(v[1])) for v in openings.trace_at_gzeta]
+        parts0.append(aux_lde)
+        parts1.append(aux_lde)
+        open0 += list(openings.aux_at_zeta)
+        open1 += list(openings.aux_at_gzeta)
+    parts0.append(quotient_lde)
+    open0 += list(openings.quotient_at_zeta)
+
+    b0_rows = GF(
+        jnp.concatenate([p.lo for p in parts0]),
+        jnp.concatenate([p.hi for p in parts0]),
+    )
+    b1_rows = GF(
+        jnp.concatenate([p.lo for p in parts1]),
+        jnp.concatenate([p.hi for p in parts1]),
+    )
+    open0 = [(int(v[0]), int(v[1])) for v in open0]
+    open1 = [(int(v[0]), int(v[1])) for v in open1]
 
     K = b0_rows.lo.shape[0]
     L = b1_rows.lo.shape[0]

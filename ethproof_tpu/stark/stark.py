@@ -42,6 +42,19 @@ class FieldOps:
     def constant(self, c: int):
         raise NotImplementedError
 
+    def challenge(self, c):
+        """A transcript value (challenge or prover message) as a field
+        value. On prover/verifier paths these are python ints
+        (-> constant); the recursion compiler overrides this to pass
+        compiled wire values through."""
+        return self.constant(c)
+
+    def alpha_pow(self, alpha, k: int):
+        """alpha^k for a transcript challenge (int on prover/verifier
+        paths; wire value under the recursion compiler, which overrides
+        this with square-and-multiply gates)."""
+        return self.constant(pow(alpha, k, HostExtOps.P))
+
     def zero(self):
         return self.constant(0)
 
@@ -230,7 +243,7 @@ class ConstraintConsumer:
     def __init__(self, ops: FieldOps, alphas_int: List[int], z_last, l_first, l_last):
         self.ops = ops
         self.alphas_int = list(alphas_int)
-        self.alphas = [ops.constant(a) for a in alphas_int]
+        self.alphas = [ops.challenge(a) for a in alphas_int]
         self.accs = [ops.zero() for _ in alphas_int]
         self.z_last = z_last
         self.l_first = l_first
@@ -255,13 +268,12 @@ class ConstraintConsumer:
     def _accumulate_vec(self, vec, weight) -> None:
         o = self.ops
         k = o.vec_len(vec)
-        P = HostExtOps.P
         new_accs = []
         for acc, a_int, a_val in zip(self.accs, self.alphas_int, self.alphas):
             folded = o.fold_vec(vec, a_int)
             if weight is not None:
                 folded = o.mul(folded, weight)
-            a_k = o.constant(pow(a_int, k, P))
+            a_k = o.alpha_pow(a_int, k)
             new_accs.append(o.add(o.mul(acc, a_k), folded))
         self.accs = new_accs
 
@@ -350,6 +362,26 @@ class Stark:
         """Emit constraints via ctx.consumer.* using ctx.ops arithmetic."""
         raise NotImplementedError
 
+    # -- custom aux columns (challenge-parameterized, committed) -------------
+    # Tables may commit extra columns computed AFTER the trace commitment
+    # from post-commit challenges (beyond the engine's CTL/logUp shapes).
+    # Used by the recursion machine's wire bus (recursion/machine.py).
+
+    def num_aux_challenges(self, num_challenges: int) -> int:
+        return 0
+
+    def num_custom_aux(self, num_challenges: int) -> int:
+        return 0
+
+    def custom_aux_columns(self, trace_gf, fixed_gf, challenges: List[int]):
+        """-> GF (num_custom_aux, n) device columns."""
+        raise NotImplementedError
+
+    def eval_custom(self, ctx: EvalContext, aux_local, aux_next, challenges) -> None:
+        """Constraints over the custom aux slice; ops-generic like eval.
+        `challenges` entries must only be consumed via ctx.ops.challenge."""
+        raise NotImplementedError
+
     def effective_degree(self, has_ctls: bool) -> int:
         # CTL transition constraints are degree 3 (Z * filter * combine)
         return max(self.constraint_degree, 3) if has_ctls else self.constraint_degree
@@ -397,7 +429,7 @@ def eval_lookup_constraints(ops, consumer, local, nxt, local_aux, next_aux, spec
     on device).
     """
     k = len(spec.looking_cols)
-    a = ops.constant(alpha)
+    a = ops.challenge(alpha)
     one = ops.one()
     hs_l = ops.stack(local_aux[:k])
     g_l = local_aux[k]
@@ -489,12 +521,15 @@ def eval_ctl_constraints(ops, consumer, local, nxt, local_zs, next_zs, instances
     """
 
     def combine(vals, inst):
-        acc = ops.constant(inst.gamma)
-        b = 1
-        for j in inst.spec.columns:
-            acc = ops.add(acc, ops.mul(ops.constant(b), eval_ctl_column(ops, vals, j)))
-            b = b * inst.beta % HostExtOps.P
-        return acc
+        # gamma + sum_j beta^j * col_j, Horner from the highest power so
+        # beta may be a compiled wire (recursion) or an int (prover /
+        # verifier — identical algebra to _ctl_z_columns' power loop).
+        beta = ops.challenge(inst.beta)
+        cols = [eval_ctl_column(ops, vals, j) for j in inst.spec.columns]
+        acc = cols[-1]
+        for v in reversed(cols[:-1]):
+            acc = ops.add(ops.mul(acc, beta), v)
+        return ops.add(ops.challenge(inst.gamma), acc)
 
     def factor(vals, inst):
         c = combine(vals, inst)
@@ -510,4 +545,4 @@ def eval_ctl_constraints(ops, consumer, local, nxt, local_zs, next_zs, instances
         z_l, z_n = local_zs[k], next_zs[k]
         consumer.constraint_first_row(ops.sub(z_l, f_local))
         consumer.constraint_transition(ops.sub(z_n, ops.mul(z_l, f_next)))
-        consumer.constraint_last_row(ops.sub(z_l, ops.constant(totals[k])))
+        consumer.constraint_last_row(ops.sub(z_l, ops.challenge(totals[k])))

@@ -63,24 +63,6 @@ def _pairs(arr: np.ndarray) -> List[Ext]:
     return [(int(v[0]), int(v[1])) for v in arr]
 
 
-def _fixed_coeffs(stark: Stark, n: int) -> List[List[int]]:
-    """Coefficient form of the fixed columns, cached per (instance, n)."""
-    cache = stark.__dict__.setdefault("_fixed_coeffs_cache", {})
-    if n not in cache:
-        cols = stark.fixed_columns(n)
-        cache[n] = [
-            fh.ntt_host([int(v) for v in col], inverse=True) for col in cols
-        ]
-    return cache[n]
-
-
-def _eval_poly_ext(coeffs: List[int], x: Ext) -> Ext:
-    acc: Ext = (0, 0)
-    for c in reversed(coeffs):
-        acc = ext_add(ext_mul(acc, x), (c, 0))
-    return acc
-
-
 def stark_verify(
     stark: Stark,
     proof: StarkProof,
@@ -106,12 +88,26 @@ def stark_verify(
         return False
     challenger.observe_elements([x % P for x in proof.public_inputs])
     challenger.observe_element(log_n)
+    fixed_cap = None
+    if stark.num_fixed_columns:
+        # the vkey: deterministic commitment to the preprocessed columns,
+        # recomputed (and cached) by the verifier itself — trusted setup
+        # data, not part of the proof
+        from .prove import fixed_commitment
+
+        fixed_cap = fixed_commitment(stark, n, config).cap
+        challenger.observe_cap(fixed_cap)
     challenger.observe_cap(proof.trace_cap)
     lookup_alphas: List[int] = []
     if stark.lookups:
         lookup_alphas = [challenger.get_challenge() for _ in range(config.num_challenges)]
+    aux_challenges = [
+        challenger.get_challenge()
+        for _ in range(stark.num_aux_challenges(config.num_challenges))
+    ]
     k_lookup = sum(lookup_aux_count(s) for s in stark.lookups) * config.num_challenges
-    k_aux = k_ctl + k_lookup
+    k_custom = stark.num_custom_aux(config.num_challenges)
+    k_aux = k_ctl + k_lookup + k_custom
     if k_aux:
         if proof.aux_cap is None:
             return False
@@ -132,7 +128,10 @@ def stark_verify(
     fri_alpha = challenger.get_extension_challenge()
 
     o = proof.openings
+    k_fixed = stark.num_fixed_columns
     if o.trace_at_zeta.shape != (cols, 2) or o.trace_at_gzeta.shape != (cols, 2):
+        return False
+    if o.fixed_at_zeta.shape != (k_fixed, 2) or o.fixed_at_gzeta.shape != (k_fixed, 2):
         return False
     if o.aux_at_zeta.shape != (k_aux, 2) or o.aux_at_gzeta.shape != (k_aux, 2):
         return False
@@ -150,13 +149,10 @@ def stark_verify(
     l_last = ext_mul(ext_mul(zh, ext_inv(z_last)), (g_last * n_inv % P, 0))
     local = _pairs(o.trace_at_zeta)
     nxt = _pairs(o.trace_at_gzeta)
-    gzeta_pt = (zeta[0] * g_h % P, zeta[1] * g_h % P)
-    fixed_l: List[Ext] = []
-    fixed_nx: List[Ext] = []
-    if stark.num_fixed_columns:
-        for coeffs in _fixed_coeffs(stark, n):
-            fixed_l.append(_eval_poly_ext(coeffs, zeta))
-            fixed_nx.append(_eval_poly_ext(coeffs, gzeta_pt))
+    # fixed values at zeta come from the proof's FRI-bound openings of the
+    # vkey oracle (checked per-query in step 4 below)
+    fixed_l: List[Ext] = _pairs(o.fixed_at_zeta)
+    fixed_nx: List[Ext] = _pairs(o.fixed_at_gzeta)
     pis = [ops.constant(int(x)) for x in proof.public_inputs]
     consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
     ctx = EvalContext(ops, local, nxt, pis, consumer, fixed_l, fixed_nx)
@@ -173,10 +169,15 @@ def stark_verify(
         for alpha in lookup_alphas:
             w = lookup_aux_count(spec)
             eval_lookup_constraints(
-                ops, consumer, local, nxt,
+                ops, consumer, local + fixed_l, nxt + fixed_nx,
                 aux_l[off : off + w], aux_n[off : off + w], spec, alpha,
             )
             off += w
+    if k_custom:
+        stark.eval_custom(
+            ctx, aux_l[off : off + k_custom], aux_n[off : off + k_custom],
+            aux_challenges,
+        )
     for ai in range(config.num_challenges):
         q: Ext = (0, 0)
         zpow: Ext = (1, 0)
@@ -195,16 +196,25 @@ def stark_verify(
     # --- 4. bind FRI round-0 to the oracle trees ---
     num_q = fri_cfg.num_query_rounds
     tq, qq, aq = proof.trace_query_openings, proof.quotient_query_openings, proof.aux_query_openings
+    fq = proof.fixed_query_openings
     if tq.values.shape != (num_q, cols):
         return False
     if qq.values.shape != (num_q, config.num_challenges * chunks):
         return False
     if k_aux and (aq is None or aq.values.shape != (num_q, k_aux)):
         return False
+    if k_fixed and (fq is None or fq.values.shape != (num_q, k_fixed)):
+        return False
     gzeta = (zeta[0] * g_h % P, zeta[1] * g_h % P)
     w = fh.primitive_root_of_unity(log_n + rate_bits)
-    open0 = _pairs(o.trace_at_zeta) + _pairs(o.aux_at_zeta) + _pairs(o.quotient_at_zeta)
-    open1 = _pairs(o.trace_at_gzeta) + _pairs(o.aux_at_gzeta)
+    open0 = (
+        _pairs(o.trace_at_zeta) + _pairs(o.fixed_at_zeta)
+        + _pairs(o.aux_at_zeta) + _pairs(o.quotient_at_zeta)
+    )
+    open1 = (
+        _pairs(o.trace_at_gzeta) + _pairs(o.fixed_at_gzeta)
+        + _pairs(o.aux_at_gzeta)
+    )
     K, L = len(open0), len(open1)
     a_pows: List[Ext] = [(1, 0)]
     for _ in range(K + L - 1):
@@ -216,22 +226,32 @@ def stark_verify(
     for wgt, y in zip(a_pows[K:], open1):
         y1 = ext_add(y1, ext_mul(wgt, y))
 
+    path_len = max(log_n + rate_bits - fri_cfg.cap_height, 0)
+    if tq.paths.shape[0] != num_q or qq.paths.shape[0] != num_q:
+        return False
+    if k_aux and aq.paths.shape[0] != num_q:
+        return False
+    if k_fixed and fq.paths.shape[0] != num_q:
+        return False
     for q, (idx, comp_val) in enumerate(round0):
         t_leaf = [int(v) for v in tq.values[q]]
         q_leaf = [int(v) for v in qq.values[q]]
         a_leaf = [int(v) for v in aq.values[q]] if k_aux else []
-        if not _verify_merkle(t_leaf, idx, tq.paths[q], proof.trace_cap):
+        f_leaf = [int(v) for v in fq.values[q]] if k_fixed else []
+        if not _verify_merkle(t_leaf, idx, tq.paths[q], proof.trace_cap, path_len):
             return False
-        if not _verify_merkle(q_leaf, idx, qq.paths[q], proof.quotient_cap):
+        if not _verify_merkle(q_leaf, idx, qq.paths[q], proof.quotient_cap, path_len):
             return False
-        if k_aux and not _verify_merkle(a_leaf, idx, aq.paths[q], proof.aux_cap):
+        if k_aux and not _verify_merkle(a_leaf, idx, aq.paths[q], proof.aux_cap, path_len):
+            return False
+        if k_fixed and not _verify_merkle(f_leaf, idx, fq.paths[q], fixed_cap, path_len):
             return False
         x = shift * pow(w, idx, P) % P
         b0: Ext = (0, 0)
-        for wgt, v in zip(a_pows[:K], t_leaf + a_leaf + q_leaf):
+        for wgt, v in zip(a_pows[:K], t_leaf + f_leaf + a_leaf + q_leaf):
             b0 = ext_add(b0, ext_mul(wgt, (v, 0)))
         b1: Ext = (0, 0)
-        for wgt, v in zip(a_pows[K:], t_leaf + a_leaf):
+        for wgt, v in zip(a_pows[K:], t_leaf + f_leaf + a_leaf):
             b1 = ext_add(b1, ext_mul(wgt, (v, 0)))
         c0 = ext_mul(ext_sub(b0, y0), ext_inv(ext_sub((x, 0), zeta)))
         c1 = ext_mul(ext_sub(b1, y1), ext_inv(ext_sub((x, 0), gzeta)))

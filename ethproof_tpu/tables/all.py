@@ -12,7 +12,7 @@ Logic, Memory.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -23,6 +23,16 @@ from .cpu import CpuStark, CpuTraceResult, Instr, execute, pi_limbs
 
 # table indices (stable order)
 T_CPU, T_ARITH, T_LOGIC, T_BYTEPACK, T_MEM, T_KECCAK, T_SPONGE = range(7)
+
+
+class CircuitSizeError(ValueError):
+    """A trace demands a degree above the configured range — deterministic,
+    so it escalates to FatalError upstream (reference FatalError semantics,
+    /root/reference/ops/src/lib.rs:52)."""
+
+
+def _ceil_log2(x: int) -> int:
+    return max(int(x) - 1, 0).bit_length()
 
 
 def build_ctls(cpu: CpuStark, with_keccak: bool = True) -> List[CrossTableLookup]:
@@ -58,6 +68,20 @@ def build_ctls(cpu: CpuStark, with_keccak: bool = True) -> List[CrossTableLookup
                 looked=(T_KECCAK, kc.output_ctl_spec()),
             ),
         ]
+        if cpu.uses_sponge:
+            # kernel <-> sponge request binding (first + final rows); the
+            # reference's CPU->KeccakSponge CTL pair [dep: from knowledge]
+            cpu_first, cpu_digest = cpu.sponge_ctl_specs()
+            ctls += [
+                CrossTableLookup(
+                    looking=((T_CPU, cpu_first),),
+                    looked=(T_SPONGE, keccak_sponge.first_ctl_spec()),
+                ),
+                CrossTableLookup(
+                    looking=((T_CPU, cpu_digest),),
+                    looked=(T_SPONGE, keccak_sponge.digest_ctl_spec()),
+                ),
+            ]
     return ctls
 
 
@@ -80,13 +104,18 @@ class TableSizes:
     keccak: "int | None" = 5
     keccak_sponge: int = 8
 
+    def degree_bits(self, with_keccak: bool = True) -> List[int]:
+        """Per-table log2 sizes in prove_all_tables trace order."""
+        out = [self.cpu, self.arithmetic, self.logic, self.bytepacking, self.memory]
+        if with_keccak:
+            assert self.keccak is not None
+            out += [self.keccak, self.keccak_sponge]
+        return out
+
     @classmethod
     def from_config(cls, config) -> "TableSizes":
-        """Derive sizes from a runtime CircuitConfig: each table proves at
-        the SMALLEST degree in its configured range that fits the trace
-        (the reference's recursion ladder covers the whole range; our
-        fixed-shape-per-run model picks the floor and grows on demand —
-        shapes are what the compilation cache is keyed on)."""
+        """Floor of every configured range (the smallest provable shapes;
+        use `fit` to grow per-proof within the ranges)."""
         r = config.ranges
         return cls(
             cpu=r["cpu"].start,
@@ -97,6 +126,67 @@ class TableSizes:
             keccak=r["keccak"].start,
             keccak_sponge=r["keccak_sponge"].start,
         )
+
+    # TableSizes field -> CircuitConfig range key
+    RANGE_KEYS = {
+        "cpu": "cpu",
+        "arithmetic": "arithmetic",
+        "logic": "logic",
+        "bytepacking": "byte_packing",
+        "memory": "memory",
+        "keccak": "keccak",
+        "keccak_sponge": "keccak_sponge",
+    }
+
+    @classmethod
+    def fit(cls, config, counts: Dict[str, int], with_keccak: bool = True) -> "TableSizes":
+        """Per-proof degree = next pow2 of the actual trace demand, clamped
+        into the configured range — the dynamic-sizing analogue of the
+        reference's recursion ladder covering min..max per table
+        (/root/reference/common/src/prover_state/circuit.rs:77-100).
+        Above the range maximum raises CircuitSizeError (fatal); below the
+        minimum proves at the floor. Shapes key the compilation cache, so
+        repeated sizes re-use compiled programs."""
+        vals: Dict[str, "int | None"] = {}
+        for field_name, key in cls.RANGE_KEYS.items():
+            r = config.ranges[key]
+            need = _ceil_log2(counts.get(field_name, 1))
+            log = max(r.start, need)
+            if log >= r.stop:
+                raise CircuitSizeError(
+                    f"{key} trace needs degree 2^{need}, above configured "
+                    f"range {r.start}..{r.stop}"
+                )
+            vals[field_name] = log
+        if not with_keccak:
+            vals["keccak"] = None
+        return cls(**vals)
+
+
+def kernel_counts(program, hash_requests=()) -> Dict[str, int]:
+    """Analytic per-table row demand for one kernel run — computable before
+    any trace is generated (the program and hash messages fully determine
+    every table's row count)."""
+    from .cpu import ARITH_OPS, LOGIC_OPS, OP_NOP
+    from .keccak_sponge import RATE_BYTES
+
+    active = [i for i in program if i.op != OP_NOP]
+    blocks = sum(len(r.message) // RATE_BYTES + 1 for r in hash_requests)
+    # memory: 3 ops/instr + 10/block (5 word reads + up to 5 staging
+    # writes); diffs are range-checked against the table size, and
+    # timestamps run past 3*len(program) by one serial per request, so
+    # the table must also cover that bound.
+    mem = 3 * len(active) + 10 * blocks
+    max_ts = 3 * len(program) + 3 + len(hash_requests)
+    return {
+        "cpu": len(program),
+        "arithmetic": sum(1 for i in active if i.op in ARITH_OPS),
+        "logic": sum(1 for i in active if i.op in LOGIC_OPS) + 5 * blocks,
+        "bytepacking": 256,  # byte range table floor
+        "memory": max(mem + 1, max_ts),
+        "keccak": 24 * blocks,
+        "keccak_sponge": max(blocks, 256),  # byte range table floor
+    }
 
 
 def all_starks(cpu: CpuStark, with_keccak: bool = True):
@@ -118,11 +208,12 @@ def prove_all_tables(
     sizes: TableSizes,
     config: StarkConfig,
     hash_requests: List["keccak_sponge.HashRequest"] = (),
+    kernel_witness: Optional[List[int]] = None,
 ) -> Tuple[MultiProof, CpuTraceResult]:
     """Execute the kernel and prove all seven tables under one transcript."""
     with_keccak = sizes.keccak is not None
     assert with_keccak or not hash_requests, "hash requests need the keccak pair"
-    res = execute(cpu.program, pi_words, 1 << sizes.cpu)
+    res = execute(cpu.program, pi_words, 1 << sizes.cpu, witness=kernel_witness)
     arith_tr, _ = arithmetic.generate_trace(res.arith_requests, 1 << sizes.arithmetic)
     bp_tr, bp_mem_ops = bytepacking.generate_trace([], 1 << sizes.bytepacking)
     if with_keccak:

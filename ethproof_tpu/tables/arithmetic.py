@@ -1,9 +1,9 @@
-"""Arithmetic table: 256-bit ADD / SUB / LT / MUL over 16-bit limbs.
+"""Arithmetic table: 256-bit ADD/SUB/LT/MUL/DIV/MOD/SHR/SHL over 16-bit limbs.
 
 Reference equivalent: evm_arithmetization's Arithmetic STARK (add/mul/
-sub/cmp over 256-bit operands in 16-bit limbs, range-checked) [dep: from
-knowledge; pin /root/reference/Cargo.lock:1675; table named at
-/root/reference/common/src/prover_state/circuit.rs:61].
+sub/cmp/div/mod/shifts over 256-bit operands in 16-bit limbs,
+range-checked) [dep: from knowledge; pin /root/reference/Cargo.lock:1675;
+table named at /root/reference/common/src/prover_state/circuit.rs:61].
 
 Limb equations hold over the integers (all terms < 2^40 << p), so the
 field constraints pin the exact 2^256-modular results:
@@ -15,10 +15,31 @@ field constraints pin the exact 2^256-modular results:
   carry_k = mclo_k + 2^16 mchi_k, both 16-bit (bounds the carry < 2^32,
   which keeps every equation exact over Z — soundness needs no tighter
   bound). Overflow past limb 15 is discarded: mod-2^256 semantics.
+- DIV/MOD (EVM: x/0 = x%0 = 0): witnessed quotient QUO and remainder REM
+  with, when in1 != 0 (boolean B_NZ, forced by an inverse witness BINV):
+  the 31-limb identity QUO*in1 + REM == in0 held exactly over Z (upper
+  convolution limbs forced to zero through carries DCLO2/DCHI2, final
+  carry zero), and REM < in1 via a borrow chain whose final borrow is
+  pinned to 1. in1 == 0 forces QUO = REM = 0. out = QUO (DIV) / REM (MOD).
+- SHR/SHL (EVM: in0 is the value, in1 the shift count; count >= 256 -> 0):
+  the count's low limb decomposes as 256*B0_HI + 16*K + T with K, T given
+  by one-hot selector banks KSEL/TSEL whose sums equal the validity bit
+  B_VALID; B_VALID == 1 forces B0_HI and the count's high limbs to zero
+  (count < 256), B_VALID == 0 forces their sum nonzero via inverse
+  witness BIGINV (count >= 256) — so the bit exactly encodes validity
+  and, through the all-zero selector banks, zeroes the output.
+  Per-limb bit shift by t uses pow2t = sum_t 2^t TSEL_t:
+    SHL: in0_i * pow2t = 2^16 SH_HI_i + SH_LO_i  (both 16-bit checked)
+    SHR: in0_i = pow2t * SH_HI_i + SH_LO_i, with SH_LO_i < 2^t enforced
+         by SHR_SCALED_i = SH_LO_i * 2^(16-t) being 16-bit checked
+  and the K-limb rotation is a one-hot-selected sum (degree 3).
 
 All value/scratch limbs are range-checked to 16 bits by one logUp
-against the row-counter column — the production table therefore runs at
-degree >= 16 (the reference's ARITHMETIC minimum, circuit.rs:77-87).
+against a FIXED (preprocessed) counter column min(row, 2^16-1) — part of
+the circuit definition, so the prover has zero freedom over the range
+table. At production sizes (n >= 2^16, the reference's ARITHMETIC
+minimum, circuit.rs:77-87) the check is a sound 16-bit bound; below
+2^16 the bound degrades to n (documented test-tier relaxation).
 
 CTL surface: (op_id, in0, in1, out) filtered by `filter`, looked up by
 the CPU table.
@@ -30,43 +51,85 @@ from typing import List, Tuple
 
 import numpy as np
 
+from ..gf import field_host as fh
 from ..stark.stark import CtlSpec, LookupSpec, Stark
 from .common import Cols, LIMB_BASE, N_LIMBS, int_to_limbs, limbs_to_int
 
 OP_ADD, OP_SUB, OP_LT, OP_MUL = 1, 2, 3, 4
+OP_DIV, OP_MOD, OP_SHR, OP_SHL = 13, 14, 15, 16
+
+ALL_OPS = (OP_ADD, OP_SUB, OP_LT, OP_MUL, OP_DIV, OP_MOD, OP_SHR, OP_SHL)
 
 _c = Cols()
 IS_ADD = _c.one()
 IS_SUB = _c.one()
 IS_LT = _c.one()
 IS_MUL = _c.one()
+IS_DIV = _c.one()
+IS_MOD = _c.one()
+IS_SHR = _c.one()
+IS_SHL = _c.one()
 OP_ID = _c.one()
 FILTER = _c.one()
 IN0 = _c.many(N_LIMBS)
 IN1 = _c.many(N_LIMBS)
 OUT = _c.many(N_LIMBS)
-CARRY = _c.many(N_LIMBS)  # boolean carry/borrow chain (add/sub/lt)
-SCRATCH = _c.many(N_LIMBS)  # LT difference limbs (16-bit)
-MCLO = _c.many(N_LIMBS)  # mul carry low 16 bits
-MCHI = _c.many(N_LIMBS)  # mul carry high bits (16-bit checked)
-COUNTER = _c.one()
+CARRY = _c.many(N_LIMBS)  # boolean carry/borrow chain (add/sub/lt/divmod)
+SCRATCH = _c.many(N_LIMBS)  # LT / REM<IN1 difference limbs (16-bit)
+MCLO = _c.many(N_LIMBS)  # mul/div carry low 16 bits (conv limbs 0..15)
+MCHI = _c.many(N_LIMBS)  # mul/div carry high bits (16-bit checked)
+QUO = _c.many(N_LIMBS)  # div/mod quotient
+REM = _c.many(N_LIMBS)  # div/mod remainder
+DCLO2 = _c.many(N_LIMBS - 2)  # div carry lows, conv limbs 16..29
+DCHI2 = _c.many(N_LIMBS - 2)  # div carry highs
+B_NZ = _c.one()  # divmod: boolean "in1 != 0"
+BINV = _c.one()  # divmod: inverse witness for sum(in1 limbs)
+G_DIV = _c.one()  # divmod: B_NZ * (is_div + is_mod)  (degree control)
+KSEL = _c.many(16)  # shifts: one-hot limb offset k (count = 16k + t)
+TSEL = _c.many(16)  # shifts: one-hot bit offset t
+B_VALID = _c.one()  # shifts: boolean "count < 256"
+B0_HI = _c.one()  # shifts: count_limb0 >> 8 (16-bit checked)
+BIGINV = _c.one()  # shifts: inverse witness for the invalidity sum
+G_SHIFT = _c.one()  # shifts: (is_shr + is_shl) * (1 - B_VALID)
+SH_LO = _c.many(N_LIMBS)  # shifts: per-limb low part (16-bit checked)
+SH_HI = _c.many(N_LIMBS)  # shifts: per-limb high part (16-bit checked)
+SHR_SCALED = _c.many(N_LIMBS)  # shr: SH_LO * 2^(16-t) (16-bit checked)
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
 
-RANGE_CHECKED = IN0 + IN1 + OUT + SCRATCH + MCLO + MCHI
+RANGE_CHECKED = (
+    IN0 + IN1 + OUT + SCRATCH + MCLO + MCHI
+    + QUO + REM + DCLO2 + DCHI2 + [B0_HI]
+    + SH_LO + SH_HI + SHR_SCALED
+)
+
+RANGE_BOUND = 1 << 16  # limb width; table column clamps here
+F_COUNTER = NUM_COLUMNS  # fixed column, addressed past the trace columns
+
+_SEL_OF_OP = {
+    OP_ADD: IS_ADD, OP_SUB: IS_SUB, OP_LT: IS_LT, OP_MUL: IS_MUL,
+    OP_DIV: IS_DIV, OP_MOD: IS_MOD, OP_SHR: IS_SHR, OP_SHL: IS_SHL,
+}
 
 
 class ArithmeticStark(Stark):
     num_columns = NUM_COLUMNS
     num_public_inputs = 0
     constraint_degree = 3
+    num_fixed_columns = 1
     lookups = [
         LookupSpec(
             looking_cols=tuple(RANGE_CHECKED),
-            table_col=COUNTER,
+            table_col=F_COUNTER,
             multiplicity_col=RC_MULT,
         )
     ]
+
+    def fixed_columns(self, n: int) -> np.ndarray:
+        counter = np.minimum(
+            np.arange(n, dtype=np.uint64), np.uint64(RANGE_BOUND - 1)
+        )
+        return counter[None, :]
 
     # CPU-facing lookup tuple
     ctl_spec = CtlSpec(
@@ -76,7 +139,7 @@ class ArithmeticStark(Stark):
     def eval(self, ctx):
         c, o = ctx.consumer, ctx.ops
         one = o.one()
-        sels = [ctx.local(i) for i in (IS_ADD, IS_SUB, IS_LT, IS_MUL)]
+        sels = [ctx.local(_SEL_OF_OP[op]) for op in ALL_OPS]
         for s in sels:
             c.constraint(o.mul(s, o.sub(s, one)))
         filt = ctx.local(FILTER)
@@ -86,48 +149,51 @@ class ArithmeticStark(Stark):
         c.constraint(o.sub(filt, acc))
         c.constraint(o.mul(filt, o.sub(filt, one)))  # at most one op per row
         # op id linkage
-        op = o.mul(o.constant(OP_ADD), sels[0])
-        for w, s in zip((OP_SUB, OP_LT, OP_MUL), sels[1:]):
+        op = o.mul(o.constant(ALL_OPS[0]), sels[0])
+        for w, s in zip(ALL_OPS[1:], sels[1:]):
             op = o.add(op, o.mul(o.constant(w), s))
         c.constraint(o.sub(ctx.local(OP_ID), op))
 
         base = o.constant(LIMB_BASE)
-        is_add, is_sub, is_lt, is_mul = sels
+        is_add, is_sub, is_lt, is_mul, is_div, is_mod, is_shr, is_shl = sels
         carries = [ctx.local(i) for i in CARRY]
         for cy in carries:
             c.constraint(o.mul(cy, o.sub(cy, one)))
 
+        a = [ctx.local(i) for i in IN0]
+        b = [ctx.local(i) for i in IN1]
+        out = [ctx.local(i) for i in OUT]
+
         # ADD / SUB / LT limb chains
         for i in range(N_LIMBS):
-            a = ctx.local(IN0[i])
-            b = ctx.local(IN1[i])
-            out = ctx.local(OUT[i])
             cin = carries[i - 1] if i > 0 else o.zero()
             # add: a + b + cin - out - base*cout = 0
             c.constraint(
                 o.mul(
                     is_add,
                     o.sub(
-                        o.add(o.add(a, b), cin),
-                        o.add(out, o.mul(base, carries[i])),
+                        o.add(o.add(a[i], b[i]), cin),
+                        o.add(out[i], o.mul(base, carries[i])),
                     ),
                 )
             )
             # sub: a - b - bin + base*bout - out = 0
             sub_expr = o.sub(
-                o.add(o.sub(o.sub(a, b), cin), o.mul(base, carries[i])), out
+                o.add(o.sub(o.sub(a[i], b[i]), cin), o.mul(base, carries[i])),
+                out[i],
             )
             c.constraint(o.mul(is_sub, sub_expr))
             # lt: same chain with scratch difference limbs
             d = ctx.local(SCRATCH[i])
             lt_expr = o.sub(
-                o.add(o.sub(o.sub(a, b), cin), o.mul(base, carries[i])), d
+                o.add(o.sub(o.sub(a[i], b[i]), cin), o.mul(base, carries[i])),
+                d,
             )
             c.constraint(o.mul(is_lt, lt_expr))
         # lt output: out_0 = final borrow, out_i>0 = 0
-        c.constraint(o.mul(is_lt, o.sub(ctx.local(OUT[0]), carries[N_LIMBS - 1])))
+        c.constraint(o.mul(is_lt, o.sub(out[0], carries[N_LIMBS - 1])))
         for i in range(1, N_LIMBS):
-            c.constraint(o.mul(is_lt, ctx.local(OUT[i])))
+            c.constraint(o.mul(is_lt, out[i]))
 
         # MUL: schoolbook low half with 32-bit carries
         prev_carry = o.zero()
@@ -135,23 +201,196 @@ class ArithmeticStark(Stark):
             acc = None
             for i in range(k + 1):
                 j = k - i
-                term = o.mul(ctx.local(IN0[i]), ctx.local(IN1[j]))
+                term = o.mul(a[i], b[j])
                 acc = term if acc is None else o.add(acc, term)
             carry_k = o.add(
                 ctx.local(MCLO[k]), o.mul(base, ctx.local(MCHI[k]))
             )
             expr = o.sub(
                 o.add(acc, prev_carry),
-                o.add(ctx.local(OUT[k]), o.mul(base, carry_k)),
+                o.add(out[k], o.mul(base, carry_k)),
             )
             c.constraint(o.mul(is_mul, expr))
             prev_carry = carry_k
 
-        # counter column: 0, 1, 2, ... (the range table)
-        c.constraint_first_row(ctx.local(COUNTER))
-        c.constraint_transition(
-            o.sub(ctx.next(COUNTER), o.add(ctx.local(COUNTER), one))
+        self._eval_divmod(ctx, sels, a, b, out, carries, base)
+        self._eval_shifts(ctx, sels, a, b, out, base)
+
+    # -- DIV / MOD -------------------------------------------------------------
+
+    def _eval_divmod(self, ctx, sels, a, b, out, carries, base):
+        c, o = ctx.consumer, ctx.ops
+        one = o.one()
+        is_div, is_mod = sels[4], sels[5]
+        is_divmod = o.add(is_div, is_mod)
+        quo = [ctx.local(i) for i in QUO]
+        rem = [ctx.local(i) for i in REM]
+        b_nz = ctx.local(B_NZ)
+        binv = ctx.local(BINV)
+        g = ctx.local(G_DIV)
+
+        s_b = b[0]
+        for i in range(1, N_LIMBS):
+            s_b = o.add(s_b, b[i])
+        c.constraint(o.mul(b_nz, o.sub(b_nz, one)))
+        # b_nz <=> sum(b) != 0, on divmod rows only
+        c.constraint(o.mul(is_divmod, o.sub(o.mul(s_b, binv), b_nz)))
+        c.constraint(o.mul(is_divmod, o.mul(o.sub(one, b_nz), s_b)))
+        # g = b_nz * is_divmod (degree control for the gated identities)
+        c.constraint(o.sub(g, o.mul(b_nz, is_divmod)))
+        # b == 0 -> quo = rem = 0 (and thus out = 0)
+        zg = o.sub(is_divmod, g)
+        for i in range(N_LIMBS):
+            c.constraint(o.mul(zg, quo[i]))
+            c.constraint(o.mul(zg, rem[i]))
+            c.constraint(o.mul(is_div, o.sub(out[i], quo[i])))
+            c.constraint(o.mul(is_mod, o.sub(out[i], rem[i])))
+
+        # QUO * b + REM == a over Z: convolution limbs 0..30, final carry 0
+        prev_carry = o.zero()
+        for k in range(2 * N_LIMBS - 1):
+            acc = None
+            for i in range(max(0, k - (N_LIMBS - 1)), min(k, N_LIMBS - 1) + 1):
+                term = o.mul(quo[i], b[k - i])
+                acc = term if acc is None else o.add(acc, term)
+            if k < N_LIMBS:
+                acc = o.add(acc, rem[k])
+            lhs = o.add(acc, prev_carry)
+            if k < N_LIMBS:
+                lhs = o.sub(lhs, a[k])
+            if k < 2 * N_LIMBS - 2:
+                if k < N_LIMBS:
+                    carry_k = o.add(
+                        ctx.local(MCLO[k]), o.mul(base, ctx.local(MCHI[k]))
+                    )
+                else:
+                    carry_k = o.add(
+                        ctx.local(DCLO2[k - N_LIMBS]),
+                        o.mul(base, ctx.local(DCHI2[k - N_LIMBS])),
+                    )
+                lhs = o.sub(lhs, o.mul(base, carry_k))
+                prev_carry = carry_k
+            c.constraint(o.mul(ctx.local(G_DIV), lhs))
+
+        # REM < b when b != 0, encoded as b - rem - 1 >= 0: borrow chain
+        # whose SCRATCH limbs are the 16-bit limbs of b - rem - 1 and whose
+        # final borrow is pinned to 0. (The non-negative difference keeps
+        # the range-checked scratch limbs small for small operands, so the
+        # encoding is testable below the 2^16 production floor.)
+        g = ctx.local(G_DIV)
+        for i in range(N_LIMBS):
+            cin = carries[i - 1] if i > 0 else one
+            expr = o.sub(
+                o.add(
+                    o.sub(o.sub(b[i], rem[i]), cin),
+                    o.mul(base, carries[i]),
+                ),
+                ctx.local(SCRATCH[i]),
+            )
+            c.constraint(o.mul(g, expr))
+        c.constraint(o.mul(g, carries[N_LIMBS - 1]))
+
+    # -- SHR / SHL -------------------------------------------------------------
+
+    def _eval_shifts(self, ctx, sels, a, b, out, base):
+        c, o = ctx.consumer, ctx.ops
+        one = o.one()
+        is_shr, is_shl = sels[6], sels[7]
+        is_shift = o.add(is_shr, is_shl)
+        ksel = [ctx.local(i) for i in KSEL]
+        tsel = [ctx.local(i) for i in TSEL]
+        v = ctx.local(B_VALID)
+        b0_hi = ctx.local(B0_HI)
+        biginv = ctx.local(BIGINV)
+        g_sh = ctx.local(G_SHIFT)
+        sh_lo = [ctx.local(i) for i in SH_LO]
+        sh_hi = [ctx.local(i) for i in SH_HI]
+        scaled = [ctx.local(i) for i in SHR_SCALED]
+
+        for s in ksel + tsel:
+            c.constraint(o.mul(s, o.sub(s, one)))
+        c.constraint(o.mul(v, o.sub(v, one)))
+        sum_k = ksel[0]
+        sum_t = tsel[0]
+        k16 = o.mul(o.constant(0), ksel[0])
+        t_lin = o.mul(o.constant(0), tsel[0])
+        pow2t = tsel[0]
+        pow2r = o.mul(o.constant(1 << 16), tsel[0])
+        for j in range(1, 16):
+            sum_k = o.add(sum_k, ksel[j])
+            sum_t = o.add(sum_t, tsel[j])
+            k16 = o.add(k16, o.mul(o.constant(16 * j), ksel[j]))
+            t_lin = o.add(t_lin, o.mul(o.constant(j), tsel[j]))
+            pow2t = o.add(pow2t, o.mul(o.constant(1 << j), tsel[j]))
+            pow2r = o.add(pow2r, o.mul(o.constant(1 << (16 - j)), tsel[j]))
+        # selector banks sum to the validity bit (all-zero when count>=256,
+        # which zeroes the one-hot-selected output sums below)
+        c.constraint(o.mul(is_shift, o.sub(sum_k, v)))
+        c.constraint(o.mul(is_shift, o.sub(sum_t, v)))
+        # count_limb0 = 256*b0_hi + 16K + T (b0_hi 16-bit-checked makes the
+        # field equation exact over Z)
+        c.constraint(
+            o.mul(
+                is_shift,
+                o.sub(
+                    b[0],
+                    o.add(o.mul(o.constant(256), b0_hi), o.add(k16, t_lin)),
+                ),
+            )
         )
+        # v <=> count < 256: bigsum = b0_hi + sum(high limbs of count)
+        bigsum = b0_hi
+        for i in range(1, N_LIMBS):
+            bigsum = o.add(bigsum, b[i])
+        c.constraint(o.mul(is_shift, o.mul(v, bigsum)))
+        # g_sh = is_shift * (1 - v); when set, bigsum must be invertible
+        c.constraint(o.sub(g_sh, o.mul(is_shift, o.sub(one, v))))
+        c.constraint(o.mul(g_sh, o.sub(o.mul(bigsum, biginv), one)))
+
+        # SHL: a_i * 2^t = 2^16 hi + lo, out_j = sum_k ksel_k (lo_{j-k} + hi_{j-k-1})
+        for i in range(N_LIMBS):
+            c.constraint(
+                o.mul(
+                    is_shl,
+                    o.sub(
+                        o.mul(a[i], pow2t),
+                        o.add(o.mul(base, sh_hi[i]), sh_lo[i]),
+                    ),
+                )
+            )
+        for j in range(N_LIMBS):
+            acc = None
+            for k in range(j + 1):
+                part = sh_lo[j - k]
+                if j - k - 1 >= 0:
+                    part = o.add(part, sh_hi[j - k - 1])
+                term = o.mul(ksel[k], part)
+                acc = term if acc is None else o.add(acc, term)
+            c.constraint(o.mul(is_shl, o.sub(out[j], acc)))
+
+        # SHR: a_i = 2^t hi + lo with lo < 2^t (scaled check), then
+        # s_i = hi_i + scaled_{i+1}, out_j = sum_k ksel_k s_{j+k}
+        for i in range(N_LIMBS):
+            c.constraint(
+                o.mul(
+                    is_shr,
+                    o.sub(a[i], o.add(o.mul(pow2t, sh_hi[i]), sh_lo[i])),
+                )
+            )
+            c.constraint(
+                o.mul(is_shr, o.sub(scaled[i], o.mul(sh_lo[i], pow2r)))
+            )
+        for j in range(N_LIMBS):
+            acc = None
+            for k in range(16):
+                if j + k > N_LIMBS - 1:
+                    break
+                part = sh_hi[j + k]
+                if j + k + 1 <= N_LIMBS - 1:
+                    part = o.add(part, scaled[j + k + 1])
+                term = o.mul(ksel[k], part)
+                acc = term if acc is None else o.add(acc, term)
+            c.constraint(o.mul(is_shr, o.sub(out[j], acc)))
 
 
 def generate_trace(
@@ -159,29 +398,24 @@ def generate_trace(
 ) -> Tuple[np.ndarray, List[int]]:
     """requests: [(op, a, b)] -> (trace (NUM_COLUMNS, n_rows) u64, results).
 
-    n_rows must be >= 2^16 for sound range checks in production; tests may
-    use smaller tables with small values.
+    The fixed range column is min(row, 2^16-1): production (n >= 2^16)
+    proves a sound 16-bit bound; smaller test tables only bound limbs by
+    n and must use correspondingly small values.
     """
     assert len(requests) <= n_rows
+    bound = min(n_rows, RANGE_BOUND)
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
-    tr[COUNTER] = np.arange(n_rows, dtype=np.uint64)
     results: List[int] = []
-    mult = np.zeros(n_rows, dtype=np.uint64)
-
-    def rc(v: int) -> int:
-        assert 0 <= v < n_rows, f"range-checked value {v} exceeds table size"
-        mult[v] += 1
-        return v
 
     for r, (op, a, b) in enumerate(requests):
         a_l, b_l = int_to_limbs(a), int_to_limbs(b)
         tr[OP_ID, r] = op
         tr[FILTER, r] = 1
+        tr[_SEL_OF_OP[op], r] = 1
         for i in range(N_LIMBS):
-            tr[IN0[i], r] = rc(a_l[i])
-            tr[IN1[i], r] = rc(b_l[i])
+            tr[IN0[i], r] = a_l[i]
+            tr[IN1[i], r] = b_l[i]
         if op == OP_ADD:
-            tr[IS_ADD, r] = 1
             res = (a + b) % (1 << 256)
             out_l = int_to_limbs(res)
             carry = 0
@@ -189,36 +423,25 @@ def generate_trace(
                 s = a_l[i] + b_l[i] + carry
                 carry = s >> 16
                 tr[CARRY[i], r] = carry
-                tr[OUT[i], r] = rc(out_l[i])
-            for i in range(N_LIMBS):
-                rc(0), rc(0), rc(0)  # scratch/mclo/mchi are zero
+                tr[OUT[i], r] = out_l[i]
         elif op in (OP_SUB, OP_LT):
             diff = (a - b) % (1 << 256)
             d_l = int_to_limbs(diff)
             borrow = 0
-            borrows = []
             for i in range(N_LIMBS):
                 s = a_l[i] - b_l[i] - borrow
                 borrow = 1 if s < 0 else 0
-                borrows.append(borrow)
                 tr[CARRY[i], r] = borrow
             if op == OP_SUB:
-                tr[IS_SUB, r] = 1
                 res = diff
                 for i in range(N_LIMBS):
-                    tr[OUT[i], r] = rc(d_l[i])
-                    rc(0), rc(0), rc(0)
+                    tr[OUT[i], r] = d_l[i]
             else:
-                tr[IS_LT, r] = 1
                 res = 1 if a < b else 0
-                tr[OUT[0], r] = rc(res)
-                for i in range(1, N_LIMBS):
-                    tr[OUT[i], r] = rc(0)
+                tr[OUT[0], r] = res
                 for i in range(N_LIMBS):
-                    tr[SCRATCH[i], r] = rc(d_l[i])
-                    rc(0), rc(0)  # mclo/mchi zero
+                    tr[SCRATCH[i], r] = d_l[i]
         elif op == OP_MUL:
-            tr[IS_MUL, r] = 1
             res = (a * b) % (1 << 256)
             out_l = int_to_limbs(res)
             carry = 0
@@ -227,16 +450,111 @@ def generate_trace(
                 out_k = acc & 0xFFFF
                 assert out_k == out_l[k]
                 carry = acc >> 16
-                tr[OUT[k], r] = rc(out_k)
-                tr[MCLO[k], r] = rc(carry & 0xFFFF)
-                tr[MCHI[k], r] = rc(carry >> 16)
-            for i in range(N_LIMBS):
-                rc(0)  # scratch zero
+                tr[OUT[k], r] = out_k
+                tr[MCLO[k], r] = carry & 0xFFFF
+                tr[MCHI[k], r] = carry >> 16
+        elif op in (OP_DIV, OP_MOD):
+            res = _fill_divmod(tr, r, op, a, b, a_l, b_l)
+        elif op in (OP_SHR, OP_SHL):
+            res = _fill_shift(tr, r, op, a, b, a_l, b_l)
         else:
             raise ValueError(f"unknown arithmetic op {op}")
         results.append(res)
 
-    # padding rows: all-zero values still hit the range table (value 0)
-    mult[0] += (n_rows - len(requests)) * len(RANGE_CHECKED)
-    tr[RC_MULT] = mult
+    # one logUp multiplicity pass over every range-checked cell (request
+    # AND padding rows — padding contributes zeros)
+    vals = tr[np.asarray(RANGE_CHECKED, dtype=np.intp)]
+    if vals.size:
+        mx = int(vals.max())
+        assert mx < bound, (
+            f"range-checked value {mx} exceeds range table (bound {bound})"
+        )
+    tr[RC_MULT] = np.bincount(
+        vals.ravel().astype(np.int64), minlength=n_rows
+    )[:n_rows].astype(np.uint64)
     return tr, results
+
+
+def _fill_divmod(tr, r, op, a, b, a_l, b_l) -> int:
+    if b:
+        q, rem = divmod(a, b)
+        tr[B_NZ, r] = 1
+        tr[G_DIV, r] = 1
+        tr[BINV, r] = fh.inv(sum(b_l) % fh.P)
+    else:
+        q = rem = 0
+    res = q if op == OP_DIV else rem
+    q_l, r_l = int_to_limbs(q), int_to_limbs(rem)
+    out_l = int_to_limbs(res)
+    for i in range(N_LIMBS):
+        tr[QUO[i], r] = q_l[i]
+        tr[REM[i], r] = r_l[i]
+        tr[OUT[i], r] = out_l[i]
+    if not b:
+        return res
+    # convolution carries for QUO * b + REM == a (limbs 0..30)
+    carry = 0
+    for k in range(2 * N_LIMBS - 1):
+        conv = sum(
+            q_l[i] * b_l[k - i]
+            for i in range(max(0, k - (N_LIMBS - 1)), min(k, N_LIMBS - 1) + 1)
+        )
+        tot = conv + (r_l[k] if k < N_LIMBS else 0) + carry
+        expect = a_l[k] if k < N_LIMBS else 0
+        assert tot & 0xFFFF == expect, "divmod identity broke"
+        carry = tot >> 16
+        if k < N_LIMBS:
+            tr[MCLO[k], r] = carry & 0xFFFF
+            tr[MCHI[k], r] = carry >> 16
+        elif k < 2 * N_LIMBS - 2:
+            tr[DCLO2[k - N_LIMBS], r] = carry & 0xFFFF
+            tr[DCHI2[k - N_LIMBS], r] = carry >> 16
+    assert carry == 0
+    # REM < b as b - rem - 1 >= 0: borrow chain with small scratch limbs
+    borrow = 1  # the -1 enters as an initial borrow at limb 0
+    for i in range(N_LIMBS):
+        s = b_l[i] - r_l[i] - borrow
+        borrow = 1 if s < 0 else 0
+        tr[CARRY[i], r] = borrow
+        tr[SCRATCH[i], r] = s + (LIMB_BASE if borrow else 0)
+    assert borrow == 0, "remainder >= divisor"
+    return res
+
+
+def _fill_shift(tr, r, op, a, b, a_l, b_l) -> int:
+    valid = b < 256
+    if valid:
+        res = (a << b) % (1 << 256) if op == OP_SHL else a >> b
+        k, t = b >> 4, b & 15
+        tr[B_VALID, r] = 1
+        tr[KSEL[k], r] = 1
+        tr[TSEL[t], r] = 1
+    else:
+        res = 0
+        tr[G_SHIFT, r] = 1
+        b0_hi = b_l[0] >> 8
+        tr[B0_HI, r] = b0_hi
+        bigsum = (b0_hi + sum(b_l[1:])) % fh.P
+        tr[BIGINV, r] = fh.inv(bigsum)
+        t = 0  # selector banks all zero; pow2t = 0 -> lo = hi = 0 (SHL)
+    out_l = int_to_limbs(res)
+    for i in range(N_LIMBS):
+        tr[OUT[i], r] = out_l[i]
+    if op == OP_SHL:
+        if valid:
+            for i in range(N_LIMBS):
+                prod = a_l[i] << t
+                tr[SH_HI[i], r] = prod >> 16
+                tr[SH_LO[i], r] = prod & 0xFFFF
+    else:  # SHR
+        if valid:
+            for i in range(N_LIMBS):
+                tr[SH_HI[i], r] = a_l[i] >> t
+                lo = a_l[i] & ((1 << t) - 1)
+                tr[SH_LO[i], r] = lo
+                tr[SHR_SCALED[i], r] = lo << (16 - t)
+        else:
+            # pow2t = 0: a_i = 0*hi + lo forces lo = a_i; scaled = lo*0 = 0
+            for i in range(N_LIMBS):
+                tr[SH_LO[i], r] = a_l[i]
+    return res

@@ -9,10 +9,12 @@ into the Memory table) [dep: from knowledge; pin
 A row (un)packs `len` (1..=32) bytes at base address (ctx, seg, virt)
 and timestamp ts. One-hot length flags L_k (len == k+1) define prefix
 indicators ACTIVE_i = sum_{k >= i} L_k; inactive bytes are pinned to 0.
-Bytes are range-checked (logUp vs the counter column — production degree
->= 9, i.e. 512 >= 256 rows, matching the reference's BYTE_PACKING
-minimum, circuit.rs:77-87). Byte i's memory access is a CTL into Memory
-at virtual address `virt + i` (an LC virtual column).
+Bytes are range-checked via logUp against a FIXED counter column
+min(row, 255) — part of the circuit definition, clamped so the check is
+a sound 8-bit bound at any n >= 256 (production degree >= 9 matches the
+reference's BYTE_PACKING minimum, circuit.rs:77-87). Byte i's memory
+access is a CTL into Memory at virtual address `virt + i` (an LC
+virtual column).
 """
 
 from __future__ import annotations
@@ -38,9 +40,10 @@ LEN_FLAGS = _c.many(32)  # one-hot: len == k+1
 ACTIVE = _c.many(32)  # prefix: i < len
 BYTES = _c.many(32)
 LIMBS = _c.many(N_LIMBS)
-COUNTER = _c.one()
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
+
+F_COUNTER = NUM_COLUMNS  # fixed byte-range column min(row, 255)
 
 # virtual column: len = sum (k+1) * L_k
 LEN_LC = LC(terms=tuple((LEN_FLAGS[k], k + 1) for k in range(32)), const=0)
@@ -67,11 +70,16 @@ class BytePackingStark(Stark):
     num_columns = NUM_COLUMNS
     num_public_inputs = 0
     constraint_degree = 3
+    num_fixed_columns = 1
     lookups = [
         LookupSpec(
-            looking_cols=tuple(BYTES), table_col=COUNTER, multiplicity_col=RC_MULT
+            looking_cols=tuple(BYTES), table_col=F_COUNTER, multiplicity_col=RC_MULT
         )
     ]
+
+    def fixed_columns(self, n: int) -> np.ndarray:
+        counter = np.minimum(np.arange(n, dtype=np.uint64), np.uint64(255))
+        return counter[None, :]
 
     # CPU-facing tuple: (op, ctx, seg, virt, ts, len, limbs...)
     ctl_spec = CtlSpec(
@@ -111,11 +119,6 @@ class BytePackingStark(Stark):
                 o.mul(o.constant(256), ctx.local(BYTES[2 * j + 1])),
             )
             c.constraint(o.sub(ctx.local(LIMBS[j]), expect))
-        # counter chain for the byte range table
-        c.constraint_first_row(ctx.local(COUNTER))
-        c.constraint_transition(
-            o.sub(ctx.next(COUNTER), o.add(ctx.local(COUNTER), one))
-        )
 
 
 class PackRequest:
@@ -144,7 +147,6 @@ def generate_trace(
     assert len(requests) <= n_rows
     assert n_rows >= 256, "byte range check needs >= 256 rows"
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
-    tr[COUNTER] = np.arange(n_rows, dtype=np.uint64)
     mult = np.zeros(n_rows, dtype=np.uint64)
     mem_ops: List[MemoryOp] = []
     for r, req in enumerate(requests):

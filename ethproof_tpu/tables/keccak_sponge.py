@@ -58,9 +58,10 @@ XIN = _c.many(RATE_LIMBS)  # padded block limbs (xor input)
 STATE_IN = _c.many(STATE_LIMBS)
 XORED = _c.many(RATE_LIMBS)
 STATE_OUT = _c.many(STATE_LIMBS)
-COUNTER = _c.one()
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
+
+F_COUNTER = NUM_COLUMNS  # fixed byte-range column min(row, 255)
 
 
 def _zero() -> LC:
@@ -108,22 +109,44 @@ def keccak_output_ctl_spec() -> CtlSpec:
 
 
 def digest_ctl_spec() -> CtlSpec:
-    """CPU-facing: (op, ctx, seg, virt, ts, digest limbs)."""
-    cols = [LC(terms=(), const=OP_KECCAK_DIGEST), CTX, SEG, VIRT, TS] + list(
+    """CPU-facing, on FINAL rows: (op, ctx, seg, virt_final, ts, len_final,
+    digest limbs). Together with `first_ctl_spec` and the intra-request
+    chaining constraints (VIRT+5 / PERM_ID+1 / same ctx,seg,ts per block),
+    one (first, final) consumption pair pins the hashed message to an
+    exact word region and byte length of kernel memory — the binding the
+    trie kernel relies on (evm/binding.py)."""
+    len_lc = LC(terms=tuple((LEN_FLAGS[i], i) for i in range(1, RATE_BYTES)), const=0)
+    cols = [LC(terms=(), const=OP_KECCAK_DIGEST), CTX, SEG, VIRT, TS, len_lc] + list(
         STATE_OUT[:16]
     )
     return CtlSpec(columns=tuple(cols), filter_col=IS_FINAL)
+
+
+OP_SPONGE_INIT = 14
+
+
+def first_ctl_spec() -> CtlSpec:
+    """CPU-facing, on FIRST rows: (op, ctx, seg, virt, ts). Consuming this
+    pins a request's STARTING word address (a final-row consumption alone
+    would let a malicious prover shift where absorption began)."""
+    cols = [LC(terms=(), const=OP_SPONGE_INIT), CTX, SEG, VIRT, TS]
+    return CtlSpec(columns=tuple(cols), filter_col=IS_FIRST)
 
 
 class KeccakSpongeStark(Stark):
     num_columns = NUM_COLUMNS
     num_public_inputs = 0
     constraint_degree = 3
+    num_fixed_columns = 1
     lookups = [
         LookupSpec(
-            looking_cols=tuple(BYTES), table_col=COUNTER, multiplicity_col=RC_MULT
+            looking_cols=tuple(BYTES), table_col=F_COUNTER, multiplicity_col=RC_MULT
         )
     ]
+
+    def fixed_columns(self, n: int) -> np.ndarray:
+        counter = np.minimum(np.arange(n, dtype=np.uint64), np.uint64(255))
+        return counter[None, :]
 
     def eval(self, ctx):
         c, o = ctx.consumer, ctx.ops
@@ -188,6 +211,24 @@ class KeccakSpongeStark(Stark):
         nxt_first = ctx.next(IS_FIRST)
         nxt_filter = ctx.next(FILTER)
         carry_gate = o.mul(nxt_filter, o.sub(one, nxt_first))
+        # request shape: an active non-final row is ALWAYS continued by an
+        # active non-first row (and only then), a final row never is, and a
+        # request cannot dangle past the last row. Together with the
+        # per-block +5/+1 address/perm chaining below this makes the
+        # (first_ctl, digest_ctl) pair pin each request's exact word region
+        # — load-bearing for the trie-binding kernel (evm/binding.py),
+        # where the WITNESS behind hash requests is adversarial.
+        c.constraint_transition(
+            o.sub(o.mul(filt, o.sub(one, final)), carry_gate)
+        )
+        c.constraint_last_row(o.mul(filt, o.sub(one, final)))
+        for col, step in ((CTX, 0), (SEG, 0), (TS, 0), (PERM_ID, 1), (VIRT, 5)):
+            want = ctx.local(col) if step == 0 else o.add(
+                ctx.local(col), o.constant(step)
+            )
+            c.constraint_transition(
+                o.mul(carry_gate, o.sub(ctx.next(col), want))
+            )
         c.constraint_vec_transition(
             o.mul(
                 carry_gate,
@@ -195,11 +236,6 @@ class KeccakSpongeStark(Stark):
             )
         )
 
-        # counter column
-        c.constraint_first_row(ctx.local(COUNTER))
-        c.constraint_transition(
-            o.sub(ctx.next(COUNTER), o.add(ctx.local(COUNTER), one))
-        )
 
 
 @dataclass
@@ -218,6 +254,11 @@ class HashRequest:
     virt: int  # word index where the message's staged words begin
     ts: int
     message: bytes
+    # True: this table emits the companion staging writes (self-contained
+    # request). False: the words were already written by the CPU kernel
+    # (OP_WIT / computed splices) — only reads are emitted, and memory
+    # consistency binds the absorbed words to the kernel's cells.
+    staged: bool = True
 
 
 def generate_trace(
@@ -226,7 +267,6 @@ def generate_trace(
     from ..hash.keccak import keccak_f
 
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
-    tr[COUNTER] = np.arange(n_rows, dtype=np.uint64)
     mult = np.zeros(n_rows, dtype=np.uint64)
     assert n_rows >= 256, "byte range check needs >= 256 rows"
     mem_ops: List[MemoryOp] = []
@@ -278,10 +318,13 @@ def generate_trace(
                 mem_ops.append(
                     MemoryOp(req.ctx, req.seg, word_virt + w, req.ts, 1, val)
                 )
-                # companion staging write at an earlier timestamp
-                mem_ops.append(
-                    MemoryOp(req.ctx, req.seg, word_virt + w, max(req.ts - 1, 0), 0, val)
-                )
+                if req.staged:
+                    # companion staging write at an earlier timestamp
+                    mem_ops.append(
+                        MemoryOp(
+                            req.ctx, req.seg, word_virt + w, max(req.ts - 1, 0), 0, val
+                        )
+                    )
             # xin limbs = padded block
             xin_limbs = [
                 padded[2 * j] + 256 * padded[2 * j + 1] for j in range(RATE_LIMBS)

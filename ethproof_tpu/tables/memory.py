@@ -43,18 +43,23 @@ S_SEG = _c.one()
 S_VIRT = _c.one()
 S_TS = _c.one()
 RC = _c.one()  # range-checked transition diff
-COUNTER = _c.one()
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
+
+F_COUNTER = NUM_COLUMNS  # fixed range column 0..n-1 (diff bound is n)
 
 
 class MemoryStark(Stark):
     num_columns = NUM_COLUMNS
     num_public_inputs = 0
     constraint_degree = 3
+    num_fixed_columns = 1
     lookups = [
-        LookupSpec(looking_cols=(RC,), table_col=COUNTER, multiplicity_col=RC_MULT)
+        LookupSpec(looking_cols=(RC,), table_col=F_COUNTER, multiplicity_col=RC_MULT)
     ]
+
+    def fixed_columns(self, n: int) -> np.ndarray:
+        return np.arange(n, dtype=np.uint64)[None, :]
 
     ctl_spec = CtlSpec(
         columns=tuple([CTX, SEG, VIRT, TS, IS_READ] + VALUE), filter_col=FILTER
@@ -106,11 +111,6 @@ class MemoryStark(Stark):
             )
             c.constraint_first_row(o.mul(ctx.local(IS_READ), ctx.local(VALUE[i])))
 
-        # counter column for the range table
-        c.constraint_first_row(ctx.local(COUNTER))
-        c.constraint_transition(
-            o.sub(ctx.next(COUNTER), o.add(ctx.local(COUNTER), one))
-        )
 
 
 class MemoryOp:
@@ -138,7 +138,6 @@ def generate_trace(ops: List[MemoryOp], n_rows: int) -> np.ndarray:
         )
     assert len(rows) == n_rows
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
-    tr[COUNTER] = np.arange(n_rows, dtype=np.uint64)
     mult = np.zeros(n_rows, dtype=np.uint64)
     for r, op in enumerate(rows):
         tr[CTX, r], tr[SEG, r], tr[VIRT, r], tr[TS, r] = op.ctx, op.seg, op.virt, op.ts

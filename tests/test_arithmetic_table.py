@@ -79,3 +79,124 @@ class TestProveVerify:
         tr[ar.IN0[0], 0] = 70  # >= n_rows: not coverable by the range table
         proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
         assert not stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+
+class TestDivModTraceGen:
+    """DIV/MOD semantics (reference arithmetic STARK div/mod rows)."""
+
+    def test_div_mod_results(self):
+        reqs = [
+            (ar.OP_DIV, 100, 7),
+            (ar.OP_MOD, 100, 7),
+            (ar.OP_DIV, 100, 0),  # EVM: x / 0 = 0
+            (ar.OP_MOD, 100, 0),  # EVM: x % 0 = 0
+            (ar.OP_DIV, 5, 100),
+            (ar.OP_MOD, 5, 100),
+            (ar.OP_DIV, 100, 1),
+        ]
+        _, res = ar.generate_trace(reqs, 1 << 16)
+        assert res == [14, 2, 0, 0, 0, 5, 100]
+
+    def test_div_full_width(self):
+        a = (1 << 256) - 1
+        b = (1 << 128) + 3
+        _, res = ar.generate_trace(
+            [(ar.OP_DIV, a, b), (ar.OP_MOD, a, b)], 1 << 16
+        )
+        assert res == [a // b, a % b]
+
+
+class TestShiftTraceGen:
+    def test_shl_shr_results(self):
+        a = 0xDEADBEEF_12345678_90ABCDEF_55AA55AA
+        reqs = [
+            (ar.OP_SHL, a, 0),
+            (ar.OP_SHR, a, 0),
+            (ar.OP_SHL, a, 13),
+            (ar.OP_SHR, a, 13),
+            (ar.OP_SHL, a, 247),
+            (ar.OP_SHR, a, 100),
+            (ar.OP_SHL, a, 256),  # count >= 256 -> 0
+            (ar.OP_SHR, a, 1 << 200),
+            (ar.OP_SHR, a, 300),
+        ]
+        _, res = ar.generate_trace(reqs, 1 << 16)
+        assert res == [
+            a, a, (a << 13) % (1 << 256), a >> 13,
+            (a << 247) % (1 << 256), a >> 100, 0, 0, 0,
+        ]
+
+
+class TestDivModShiftProveVerify:
+    def _roundtrip(self, reqs, tamper=None):
+        tr, _ = ar.generate_trace(reqs, 64)
+        if tamper:
+            tamper(tr)
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        return stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_divmod_shift_roundtrip(self):
+        # small values: the 64-row test table bounds limbs by 64
+        assert self._roundtrip(
+            [
+                (ar.OP_DIV, 45, 7),
+                (ar.OP_MOD, 45, 7),
+                (ar.OP_DIV, 45, 0),
+                (ar.OP_SHL, 5, 3),
+                (ar.OP_SHR, 40, 3),
+                (ar.OP_SHR, 40, 2),
+            ]
+        )
+
+    def test_wrong_quotient_rejected(self):
+        def tamper(tr):
+            tr[ar.OUT[0], 0] = 7  # claim 45 // 7 == 7
+            tr[ar.QUO[0], 0] = 7
+
+        assert not self._roundtrip([(ar.OP_DIV, 45, 7)], tamper)
+
+    def test_div_by_zero_forged_output_rejected(self):
+        def tamper(tr):
+            tr[ar.OUT[0], 0] = 45  # claim 45 // 0 == 45
+            tr[ar.QUO[0], 0] = 45
+
+        assert not self._roundtrip([(ar.OP_DIV, 45, 0)], tamper)
+
+    def test_remainder_ge_divisor_rejected(self):
+        def tamper(tr):
+            # 45 = 5*7 + 10 also satisfies the product identity, but
+            # violates REM < divisor
+            tr[ar.QUO[0], 0] = 5
+            tr[ar.REM[0], 0] = 10
+            tr[ar.OUT[0], 0] = 5
+            # best-effort b - rem - 1 chain for rem > b: limb 0 is
+            # 7 - 10 - 1 = -4, so a borrow is forced all the way up and
+            # the final borrow lands on 1 where the constraint pins 0
+            tr[ar.SCRATCH[0], 0] = 7 - 10 - 1 + (1 << 16)
+            tr[ar.CARRY[0], 0] = 1
+            for i in range(1, 16):
+                tr[ar.SCRATCH[i], 0] = (1 << 16) - 1
+                tr[ar.CARRY[i], 0] = 1
+
+        assert not self._roundtrip([(ar.OP_DIV, 45, 7)], tamper)
+
+    def test_wrong_shift_rejected(self):
+        def tamper(tr):
+            tr[ar.OUT[0], 0] = 41  # claim 5 << 3 == 41
+
+        assert not self._roundtrip([(ar.OP_SHL, 5, 3)], tamper)
+
+    def test_shift_validity_forgery_rejected(self):
+        # prover claims a small count is invalid (tries to output 0)
+        def tamper(tr):
+            tr[ar.B_VALID, 0] = 0
+            tr[ar.KSEL[0], 0] = 0
+            tr[ar.TSEL[3], 0] = 0
+            tr[ar.G_SHIFT, 0] = 1
+            tr[ar.BIGINV, 0] = 1  # bigsum == 0: no valid inverse exists
+            for i in range(16):
+                tr[ar.OUT[i], 0] = 0
+                tr[ar.SH_LO[i], 0] = 0
+                tr[ar.SH_HI[i], 0] = 0
+
+        assert not self._roundtrip([(ar.OP_SHL, 5, 3)], tamper)

@@ -70,3 +70,56 @@ class TestLookup:
         tr[3, 3] = 5  # claim value 3 appears 5 times (it appears once)
         proof = stark_prove(RangeCheckedStark(), tr, [], CFG)
         assert not stark_verify(RangeCheckedStark(), proof, CFG)
+
+
+class ClampedRangeStark(Stark):
+    """cols [v0, mult]; FIXED col (index 2) = min(row, BOUND-1).
+
+    The preprocessed clamped range table (ADVICE r1 high fix): the range
+    bound stays BOUND even when the trace is longer, and the prover has
+    no freedom over the table side at all.
+    """
+
+    BOUND = 8
+    num_columns = 2
+    num_fixed_columns = 1
+    num_public_inputs = 0
+    constraint_degree = 2
+    lookups = [LookupSpec(looking_cols=(0,), table_col=2, multiplicity_col=1)]
+
+    def fixed_columns(self, n):
+        return np.minimum(np.arange(n, dtype=np.uint64), np.uint64(self.BOUND - 1))[
+            None, :
+        ]
+
+    def eval(self, ctx):
+        pass
+
+
+def _clamped_trace(values, n=32):
+    tr = np.zeros((2, n), dtype=np.uint64)
+    tr[0, : len(values)] = values
+    counts = np.zeros(n, dtype=np.uint64)
+    for v in tr[0]:
+        if int(v) < ClampedRangeStark.BOUND:
+            counts[int(v)] += 1
+    tr[1] = counts
+    return tr
+
+
+class TestClampedFixedRange:
+    def test_within_bound_verifies(self):
+        tr = _clamped_trace([3, 7, 0, 5])
+        proof = stark_prove(ClampedRangeStark(), tr, [], CFG)
+        assert stark_verify(ClampedRangeStark(), proof, CFG)
+
+    def test_above_bound_below_n_rejected(self):
+        # 20 < n = 32 but >= BOUND = 8: the unclamped counter of round 1
+        # would have accepted this (the ADVICE r1 forge); the clamped
+        # fixed table cannot cover it no matter what multiplicities the
+        # prover commits.
+        tr = _clamped_trace([3, 7])
+        tr[0, 5] = 20
+        tr[1, 20] = 1  # prover's best attempt at covering it
+        proof = stark_prove(ClampedRangeStark(), tr, [], CFG)
+        assert not stark_verify(ClampedRangeStark(), proof, CFG)
