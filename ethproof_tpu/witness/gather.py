@@ -155,15 +155,21 @@ def get_block_metadata(
 
 
 def get_block_hashes(client: RpcClient, block_number: int) -> BlockHashes:
-    """256 previous hashes, two per request via parentHash (rpc.rs:63-105)."""
+    """256 previous hashes, two per request via parentHash, the requests
+    issued concurrently in order (reference FuturesOrdered batching,
+    rpc.rs:63-105 + :84-89)."""
     cur = client.get_block(block_number)
     if block_number == 0:
         return BlockHashes([ZERO32] * 256, _unhex(cur["hash"]))
     hashes: List[bytes] = []
     start = max(block_number - 256, 0)
     hashes.extend([ZERO32] * (256 - (block_number - start)))
-    for num in range(start, block_number + 1, 2):
-        blk = client.get_block(num)
+    from concurrent.futures import ThreadPoolExecutor
+
+    nums = list(range(start, block_number + 1, 2))
+    with ThreadPoolExecutor(max_workers=min(8, len(nums))) as pool:
+        blocks = list(pool.map(client.get_block, nums))
+    for blk in blocks:
         n = _int_of(blk["number"])
         if n == block_number:
             hashes.append(_unhex(blk["parentHash"]))
@@ -229,30 +235,51 @@ def gather_witness(
     traces: List[dict] = []
     merged: Dict[str, dict] = {}
 
+    from concurrent.futures import ThreadPoolExecutor
+
     tx_hashes = block["transactions"][: tx_index + 1]
-    for h in tx_hashes:
-        txn = client.get_transaction(h)
-        accounts = client.trace_prestate(h)
+    # per-tx fetches in flight together, results consumed in tx order
+    # (reference leader/src/rpc.rs:84-89 FuturesOrdered semantics)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        per_tx = list(
+            pool.map(
+                lambda h: (
+                    client.get_transaction(h),
+                    client.trace_prestate(h),
+                    client.get_raw_transaction(h),
+                ),
+                tx_hashes,
+            )
+        )
+    for txn, accounts, raw in per_tx:
         traces.append(accounts)
         _merge_touched(merged, accounts)
-        txn_rlps.append(client.get_raw_transaction(h))
+        txn_rlps.append(raw)
         txns_info.append(txn)
 
-    # proofs at N-1 and N for all touched accounts
+    # proofs at N-1 and N for all touched accounts (batched; absorbed in
+    # deterministic (address, number) order)
+    proof_jobs = []
     for address in sorted(merged):
-        account = merged[address]
-        storage_keys = sorted((account.get("storage") or {}).keys())
+        storage_keys = sorted((merged[address].get("storage") or {}).keys())
         for number in (block_number - 1, block_number):
-            res = client.get_proof(address, storage_keys, number)
-            state_mpt.insert_proof([_unhex(p) for p in res["accountProof"]])
-            key = keccak256(_unhex(address).rjust(20, b"\x00"))
-            if account.get("storage"):
-                smpt = storage_mpts.setdefault(key, Mpt())
-                if number == block_number - 1:
-                    smpt.root = _unhex(res["storageHash"])
-                for sp in res.get("storageProof", []):
-                    smpt.insert_proof([_unhex(p) for p in sp["proof"]])
-        code = account.get("code")
+            proof_jobs.append((address, storage_keys, number))
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        proof_results = list(
+            pool.map(lambda j: client.get_proof(j[0], j[1], j[2]), proof_jobs)
+        )
+    for (address, storage_keys, number), res in zip(proof_jobs, proof_results):
+        account = merged[address]
+        state_mpt.insert_proof([_unhex(p) for p in res["accountProof"]])
+        key = keccak256(_unhex(address).rjust(20, b"\x00"))
+        if account.get("storage"):
+            smpt = storage_mpts.setdefault(key, Mpt())
+            if number == block_number - 1:
+                smpt.root = _unhex(res["storageHash"])
+            for sp in res.get("storageProof", []):
+                smpt.insert_proof([_unhex(p) for p in sp["proof"]])
+    for address in sorted(merged):
+        code = merged[address].get("code")
         if code:
             code_bytes = _unhex(code)
             contract_codes[keccak256(code_bytes)] = code_bytes
