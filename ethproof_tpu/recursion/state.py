@@ -1,0 +1,129 @@
+"""Recursion prover state: the AllRecursiveCircuits analogue.
+
+Reference equivalent: `AllRecursiveCircuits` built once per circuit
+config and cached (/root/reference/common/src/prover_state/circuit.rs:
+200-206, persistence.rs:40-88). Here the expensive artifacts are (a) the
+compiled per-overlap tx ROOT circuits, (b) the per-level AGG circuits,
+and (c) each circuit's fixed-column (vkey) commitment — all deterministic
+functions of (TableSizes, StarkConfig), built lazily and cached for the
+process lifetime. The XLA compilation cache (runtime/prover_state.py)
+persists the device-side compilation across processes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from ..fri.config import StarkConfig
+from ..tables.all import TableSizes
+from .aggregate import AggLadder
+from .root import TxRootCircuit, build_tx_root
+
+# ordered registry of overlap variants; index == MachineProof.variant
+from ..evm.transfer import (
+    OVERLAP_ALL,
+    OVERLAP_DISTINCT,
+    OVERLAP_R_EQ_M,
+    OVERLAP_S_EQ_M,
+    OVERLAP_S_EQ_R,
+    transfer_cpu_stark,
+)
+
+OVERLAP_VARIANTS: List[str] = [
+    OVERLAP_DISTINCT,
+    OVERLAP_S_EQ_R,
+    OVERLAP_S_EQ_M,
+    OVERLAP_R_EQ_M,
+    OVERLAP_ALL,
+]
+VARIANT_INDEX: Dict[str, int] = {o: i for i, o in enumerate(OVERLAP_VARIANTS)}
+
+
+@dataclass
+class RecursionState:
+    """Root circuits (per overlap variant) + the aggregation ladder, for
+    one (sizes, config, binding shape). All variants are padded to one
+    machine degree so the level-1 agg circuit can vkey-mux over them."""
+
+    sizes: TableSizes
+    config: StarkConfig
+    overlaps: List[str]
+    binding_shape: Optional[object] = None  # evm.binding.KernelShape
+    roots: Dict[str, TxRootCircuit] = field(default_factory=dict)
+    _ladder: Optional[AggLadder] = None
+    _root_log_n: Optional[int] = None
+
+    def root(self, overlap: str) -> TxRootCircuit:
+        assert overlap in self.overlaps, f"overlap {overlap} not registered"
+        if overlap not in self.roots:
+            self.roots[overlap] = build_tx_root(
+                transfer_cpu_stark(overlap, self.binding_shape),
+                self.sizes,
+                self.config,
+            )
+            if self._root_log_n is not None:
+                # ladder already fixed the common degree; later-compiled
+                # variants must fit under it (they differ by a few gates)
+                r = self.roots[overlap]
+                assert r.log_n <= self._root_log_n, (
+                    f"variant {overlap} needs 2^{r.log_n} > common "
+                    f"2^{self._root_log_n}"
+                )
+                r.log_n = self._root_log_n
+        return self.roots[overlap]
+
+    def _materialize_all(self) -> None:
+        for o in self.overlaps:
+            if o not in self.roots:
+                self.roots[o] = build_tx_root(
+                    transfer_cpu_stark(o, self.binding_shape),
+                    self.sizes,
+                    self.config,
+                )
+
+    @property
+    def root_log_n(self) -> int:
+        if self._root_log_n is None:
+            self._materialize_all()
+            self._root_log_n = max(r.log_n for r in self.roots.values())
+            for r in self.roots.values():
+                r.log_n = self._root_log_n
+        return self._root_log_n
+
+    @property
+    def ladder(self) -> AggLadder:
+        if self._ladder is None:
+            n = self.root_log_n  # materializes + pads all variants
+            leaf_starks = [self.roots[o].stark for o in self.overlaps]
+            self._ladder = AggLadder(leaf_starks, n, self.config)
+        return self._ladder
+
+    def variant_of(self, overlap: str) -> int:
+        return self.overlaps.index(overlap)
+
+
+_STATES: Dict[tuple, RecursionState] = {}
+
+
+def recursion_state(
+    sizes: TableSizes,
+    config: StarkConfig,
+    overlaps: Optional[List[str]] = None,
+    binding_shape: Optional[object] = None,
+) -> RecursionState:
+    """Process-wide cache keyed by (sizes, config identity, overlap set,
+    binding shape)."""
+    overlaps = list(overlaps) if overlaps is not None else list(OVERLAP_VARIANTS)
+    key = (
+        tuple(sorted(vars(sizes).items())),
+        config.num_challenges,
+        tuple(sorted(vars(config.fri_config).items())),
+        tuple(overlaps),
+        binding_shape,
+    )
+    if key not in _STATES:
+        _STATES[key] = RecursionState(
+            sizes=sizes, config=config, overlaps=overlaps, binding_shape=binding_shape
+        )
+    return _STATES[key]

@@ -116,26 +116,79 @@ def stark_proof_from_json(d: dict) -> StarkProof:
     )
 
 
-def tx_proof_to_json(p: TxProof) -> dict:
+def machine_proof_to_json(mp) -> dict:
     return {
+        "proof": stark_proof_to_json(mp.proof),
+        "log_n": mp.log_n,
+        "variant": mp.variant,
+    }
+
+
+def machine_proof_from_json(d: dict):
+    from ..recursion.wrap import MachineProof
+
+    return MachineProof(
+        proof=stark_proof_from_json(d["proof"]),
+        log_n=int(d["log_n"]),
+        variant=int(d["variant"]),
+    )
+
+
+def tx_proof_to_json(p: TxProof) -> dict:
+    out = {
         "kind": "txn",
-        "multi": [stark_proof_to_json(sp) for sp in p.multi.proofs],
+        # under recursion the multi-STARK is dropped after wrapping and
+        # the succinct machine proof travels instead
+        "multi": (
+            [stark_proof_to_json(sp) for sp in p.multi.proofs]
+            if p.multi is not None
+            else None
+        ),
+        "root_proof": (
+            machine_proof_to_json(p.root_proof)
+            if p.root_proof is not None
+            else None
+        ),
         "pi_words": [str(w) for w in p.pi_words],  # 256-bit ints as strings
         "gen_inputs": p.gen_inputs.to_json(),
         "sender": p.sender.hex(),
         "recipient": p.recipient.hex(),
         "miner": p.miner.hex(),
     }
+    if p.binding_shape is not None:
+        out["binding_shape"] = {
+            "levels": p.binding_shape.levels,
+            "node_words": p.binding_shape.node_words,
+        }
+    return out
 
 
 def tx_proof_from_json(d: dict) -> TxProof:
+    shape = None
+    if d.get("binding_shape") is not None:
+        from ..evm.binding import KernelShape
+
+        shape = KernelShape(
+            levels=int(d["binding_shape"]["levels"]),
+            node_words=int(d["binding_shape"]["node_words"]),
+        )
     return TxProof(
-        multi=MultiProof(proofs=[stark_proof_from_json(x) for x in d["multi"]]),
+        multi=(
+            MultiProof(proofs=[stark_proof_from_json(x) for x in d["multi"]])
+            if d["multi"] is not None
+            else None
+        ),
         pi_words=[int(w) for w in d["pi_words"]],
         gen_inputs=GenerationInputs.from_json(d["gen_inputs"]),
         sender=bytes.fromhex(d["sender"]),
         recipient=bytes.fromhex(d["recipient"]),
         miner=bytes.fromhex(d["miner"]),
+        binding_shape=shape,
+        root_proof=(
+            machine_proof_from_json(d["root_proof"])
+            if d.get("root_proof") is not None
+            else None
+        ),
     )
 
 
@@ -176,20 +229,55 @@ def aggregatable_from_json(d: dict):
 
 
 def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
-    return {
+    out = {
         "b_height": bp.block_number,
         "state_root_before": bp.state_root_before.hex(),
         "state_root_after": bp.state_root_after.hex(),
         "agg": aggregatable_to_json(bp.agg),
         "parent": block_proof_to_json(bp.parent) if bp.parent else None,
     }
+    if bp.succinct is not None:
+        s = bp.succinct
+        out["succinct"] = {
+            "top": machine_proof_to_json(s.top),
+            "level": s.level,
+            "sizes": vars(s.sizes) if s.sizes is not None else None,
+            "binding_shape": (
+                {"levels": s.binding_shape.levels,
+                 "node_words": s.binding_shape.node_words}
+                if s.binding_shape is not None
+                else None
+            ),
+        }
+    return out
 
 
 def block_proof_from_json(d: dict) -> GeneratedBlockProof:
+    succinct = None
+    if d.get("succinct") is not None:
+        from ..tables.all import TableSizes
+        from .ops import SuccinctBlockProof
+
+        s = d["succinct"]
+        shape = None
+        if s.get("binding_shape") is not None:
+            from ..evm.binding import KernelShape
+
+            shape = KernelShape(
+                levels=int(s["binding_shape"]["levels"]),
+                node_words=int(s["binding_shape"]["node_words"]),
+            )
+        succinct = SuccinctBlockProof(
+            top=machine_proof_from_json(s["top"]),
+            level=int(s["level"]),
+            sizes=TableSizes(**s["sizes"]) if s.get("sizes") is not None else None,
+            binding_shape=shape,
+        )
     return GeneratedBlockProof(
         block_number=d["b_height"],
         state_root_before=bytes.fromhex(d["state_root_before"]),
         state_root_after=bytes.fromhex(d["state_root_after"]),
         agg=aggregatable_from_json(d["agg"]),
         parent=block_proof_from_json(d["parent"]) if d["parent"] else None,
+        succinct=succinct,
     )
