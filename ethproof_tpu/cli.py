@@ -9,7 +9,9 @@ Reference equivalent: the `leader` binary
 
 plus a `verify` subcommand (the reference delegates verification to the
 embedded plonky2 verifier; here it is a first-class command) and a
-`worker` stub documenting the multi-host path. Witness JSON flows
+`worker` daemon (reference worker/src/main.rs) for the distributed
+runtime (runtime/distributed.py — TCP task channel in place of the
+reference's AMQP broker). Witness JSON flows
 rpc -> file -> prove, proof JSON to stdout (main.rs:36,60). Circuit
 sizes resolve CLI flag -> env var -> default, like clap's env feature
 (common/src/prover_state/cli.rs:25-54); a `.env` file in the cwd is
@@ -79,6 +81,11 @@ def cmd_rpc(args) -> int:
     return 0
 
 
+def _parse_addr(s: str) -> tuple:
+    host, _, port = s.rpartition(":")
+    return (host or "0.0.0.0", int(port))
+
+
 def cmd_prove(args) -> int:
     from .fri.config import standard_fast_config
     from .runtime import serde
@@ -92,15 +99,27 @@ def cmd_prove(args) -> int:
     set_prover_state_from_config(config, persistence=args.persistence)
     with open(args.input_witness) as f:
         ir = witness_from_json(json.load(f))
-    from .tables.all import TableSizes
 
-    runtime = Runtime(num_workers=args.num_workers)
+    if args.runtime == "distributed":
+        from .runtime.distributed import DistributedRuntime
+
+        runtime = DistributedRuntime(listen=_parse_addr(args.listen))
+        print(
+            f"leader: listening on {runtime.address}, waiting for "
+            f"{args.num_workers} worker(s)",
+            file=sys.stderr,
+        )
+        runtime.wait_for_workers(args.num_workers)
+    else:
+        runtime = Runtime(num_workers=args.num_workers)
     try:
         bp = prove_block(
             ir,
             standard_fast_config(),
-            sizes=TableSizes.from_config(config),
+            # CircuitConfig -> per-block dynamic degree fit within the ranges
+            sizes=config,
             runtime=runtime,
+            recursion=args.recursion,
         )
     finally:
         runtime.close()
@@ -117,19 +136,36 @@ def cmd_verify(args) -> int:
     init_tracing()
     with open(args.input_proof) as f:
         bp = serde.block_proof_from_json(json.load(f))
-    ok = verify_block(bp, standard_fast_config())
+    config = standard_fast_config()
+    recursion = None
+    if bp.succinct is not None and bp.succinct.sizes is not None:
+        # rebuild the recursion ladder's vkeys from the proof-declared
+        # leaf circuit identity (sizes + binding shape)
+        from .recursion.state import recursion_state
+
+        recursion = recursion_state(
+            bp.succinct.sizes, config, binding_shape=bp.succinct.binding_shape
+        )
+    ok = verify_block(bp, config, recursion=recursion)
     print("valid" if ok else "INVALID", file=sys.stderr)
     return 0 if ok else 1
 
 
 def cmd_worker(args) -> int:
-    print(
-        "multi-host workers are scheduled through jax.distributed (one SPMD\n"
-        "program over the pod), not a broker; run `prove` on the coordinator\n"
-        "with JAX distributed env configured. See ARCHITECTURE.md.",
-        file=sys.stderr,
+    """Worker daemon: dial the leader, execute registry ops until it
+    hangs up (reference worker/src/main.rs:19-33 — prover state built at
+    startup from the same flag/env config as the leader, then
+    main_loop)."""
+    from .runtime.distributed import worker_main_loop
+    from .runtime.prover_state import set_prover_state_from_config
+    from .runtime.tracing import init_tracing
+
+    init_tracing(pretty=True)
+    config = _resolve_config(args)
+    set_prover_state_from_config(config, persistence=args.persistence)
+    return worker_main_loop(
+        _parse_addr(args.leader), reconnect=args.reconnect
     )
-    return 2
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -144,8 +180,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     prove = sub.add_parser("prove", help="prove a witness file")
     prove.add_argument("-i", "--input-witness", required=True)
-    prove.add_argument("--runtime", choices=["in-memory"], default="in-memory")
-    prove.add_argument("--num-workers", type=int, default=1)
+    prove.add_argument(
+        "--runtime",
+        choices=["in-memory", "distributed"],
+        default="in-memory",
+        help="in-memory: threads in-process; distributed: dispatch to a "
+        "worker fleet over TCP (reference --runtime amqp)",
+    )
+    prove.add_argument(
+        "--listen",
+        default="0.0.0.0:9041",
+        help="distributed runtime: leader listen address (host:port)",
+    )
+    prove.add_argument(
+        "--num-workers",
+        type=int,
+        default=1,
+        help="in-memory: thread count; distributed: workers to wait for",
+    )
+    prove.add_argument(
+        "--recursion",
+        action="store_true",
+        help="succinct constant-size block proof via the recursion ladder",
+    )
     _add_circuit_flags(prove)
     prove.set_defaults(fn=cmd_prove)
 
@@ -153,8 +210,19 @@ def build_parser() -> argparse.ArgumentParser:
     verify.add_argument("-i", "--input-proof", required=True)
     verify.set_defaults(fn=cmd_verify)
 
-    worker = sub.add_parser("worker", help="multi-host worker (see notes)")
-    worker.add_argument("--runtime", default="amqp")
+    worker = sub.add_parser(
+        "worker", help="worker daemon: execute proving ops for a leader"
+    )
+    worker.add_argument(
+        "--leader",
+        default=os.environ.get("ETHPROOF_LEADER", "127.0.0.1:9041"),
+        help="leader address host:port (env ETHPROOF_LEADER)",
+    )
+    worker.add_argument(
+        "--reconnect", type=int, default=5,
+        help="connection attempts before giving up (systemd restarts us)",
+    )
+    _add_circuit_flags(worker)
     worker.set_defaults(fn=cmd_worker)
     return parser
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple, Union
 
+from ..evm.binding import Unsupported
 from ..evm.transfer import TxProof, prove_transfer, verify_transfer
 from ..fri.config import StarkConfig
 from ..hash.keccak import keccak256
@@ -56,12 +57,34 @@ AggregatableProof = Union[TxProof, DummyProof, AggProof]
 
 
 @dataclass
+class SuccinctBlockProof:
+    """One machine proof covering EVERY transaction's STARK verification
+    (reference proof_gen constant-size block proofs, ops/src/lib.rs:95).
+
+    top: the aggregation ladder's top machine proof; its 4-element public
+    digest equals the balanced fold (with repeat-padding) of the per-tx
+    statement digests, which verify_block re-derives host-side from the
+    witness. Verification cost: one STARK verify + O(#tx) host hashing,
+    independent of table sizes.
+
+    sizes/binding_shape identify the leaf circuits (the verifier rebuilds
+    the recursion ladder's vkeys from them — the reference's
+    prover-state circuit digest, common/src/prover_state/mod.rs)."""
+
+    top: object  # recursion.wrap.MachineProof
+    level: int
+    sizes: Optional[TableSizes] = None
+    binding_shape: Optional[object] = None  # evm.binding.KernelShape
+
+
+@dataclass
 class GeneratedBlockProof:
     block_number: int
     state_root_before: bytes
     state_root_after: bytes
     agg: AggProof
     parent: Optional["GeneratedBlockProof"] = None
+    succinct: Optional[SuccinctBlockProof] = None
 
 
 def public_data(p: AggregatableProof) -> Tuple[int, int, int, int, bytes, bytes]:
@@ -93,7 +116,8 @@ def public_data(p: AggregatableProof) -> Tuple[int, int, int, int, bytes, bytes]
 def tx_proof(
     gi: GenerationInputs,
     config: StarkConfig,
-    sizes: Optional[TableSizes] = None,
+    sizes: "Optional[TableSizes | object]" = None,  # TableSizes | CircuitConfig
+    recursion: Optional[object] = None,  # recursion.state.RecursionState
 ) -> AggregatableProof:
     label = (
         "0x" + keccak256(gi.signed_txn).hex()[:16] if gi.signed_txn else "Dummy"
@@ -102,9 +126,24 @@ def tx_proof(
         if gi.signed_txn is None:
             return DummyProof(gen_inputs=gi)
         try:
-            return prove_transfer(gi, config, sizes)
+            # under recursion the kernel program must match the cached
+            # root circuits, so the binding mode follows the state
+            binding = recursion.binding_shape if recursion is not None else "auto"
+            proof = prove_transfer(gi, config, sizes, binding=binding)
+            if recursion is not None:
+                with span("p_root", tx=label):
+                    root = recursion.root(proof.overlap)
+                    mp = root.prove(proof.multi, config)
+                    mp.variant = recursion.variant_of(proof.overlap)
+                    proof.root_proof = mp
+                    proof.multi = None  # the machine proof subsumes it
+            return proof
         except (AssertionError, NotImplementedError, ValueError) as e:
             raise FatalError(f"txn proof failed for {label}: {e}") from e
+        except Unsupported as e:
+            # binding was REQUIRED (recursion circuits fix the program)
+            # but the witness is outside the envelope — deterministic
+            raise FatalError(f"binding unsupported for {label}: {e}") from e
 
 
 def agg_combine(a: AggregatableProof, b: AggregatableProof) -> AggProof:
@@ -175,7 +214,9 @@ def verify_dummy(p: DummyProof) -> bool:
     return st.hash() == gi.trie_roots_after.state_root
 
 
-def verify_aggregatable(p: AggregatableProof, config: StarkConfig) -> bool:
+def verify_aggregatable(
+    p: AggregatableProof, config: StarkConfig, skip_stark: bool = False
+) -> bool:
     if isinstance(p, AggProof):
         (tb0, ta0, gb0, ga0, rb0, ra0) = public_data(p.left)
         (tb1, ta1, gb1, ga1, rb1, ra1) = public_data(p.right)
@@ -190,23 +231,54 @@ def verify_aggregatable(p: AggregatableProof, config: StarkConfig) -> bool:
             p.state_root_after,
         ):
             return False
-        return verify_aggregatable(p.left, config) and verify_aggregatable(
-            p.right, config
-        )
+        return verify_aggregatable(
+            p.left, config, skip_stark
+        ) and verify_aggregatable(p.right, config, skip_stark)
     if isinstance(p, DummyProof):
         return verify_dummy(p)
-    return verify_transfer(p, config)
+    return verify_transfer(p, config, skip_stark=skip_stark)
 
 
-def verify_block(bp: GeneratedBlockProof, config: StarkConfig) -> bool:
-    if not verify_aggregatable(bp.agg, config):
+def _real_txs(p: AggregatableProof) -> List[TxProof]:
+    """Order-preserving real-transaction leaves of the agg tree."""
+    if isinstance(p, AggProof):
+        return _real_txs(p.left) + _real_txs(p.right)
+    return [p] if isinstance(p, TxProof) else []
+
+
+def verify_block(
+    bp: GeneratedBlockProof,
+    config: StarkConfig,
+    recursion: Optional[object] = None,  # recursion.state.RecursionState
+) -> bool:
+    """With a succinct proof + recursion state: per-leaf STARK checks are
+    replaced by ONE machine verification against the host-recomputed
+    statement-digest tree (cost independent of tx count / table sizes).
+    Host-side layers (PI re-derivation, trie binding, seam chaining,
+    dummy no-op checks) are always checked."""
+    succinct = bp.succinct is not None and recursion is not None
+    if not verify_aggregatable(bp.agg, config, skip_stark=succinct):
         return False
+    if succinct:
+        from ..recursion.aggregate import verify_fold
+        from ..recursion.root import tx_statement_digest
+        from ..tables.cpu import pi_limbs
+
+        txs = _real_txs(bp.agg)
+        if not txs:
+            return False  # a succinct proof with no real txs is malformed
+        digests = [tx_statement_digest(pi_limbs(t.pi_words)) for t in txs]
+        if not verify_fold(
+            recursion.ladder, bp.succinct.top, bp.succinct.level,
+            digests, config,
+        ):
+            return False
     if bp.state_root_before != bp.agg.state_root_before:
         return False
     if bp.state_root_after != bp.agg.state_root_after:
         return False
     if bp.parent is not None:
-        if not verify_block(bp.parent, config):
+        if not verify_block(bp.parent, config, recursion):
             return False
         if bp.parent.state_root_after != bp.state_root_before:
             return False

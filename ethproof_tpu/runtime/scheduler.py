@@ -69,6 +69,14 @@ class Runtime:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             return list(pool.map(one, items))
 
+    def run_tasks(self, tasks: Sequence):
+        """Execute (op, payload) registry tasks locally — the same wire
+        format DistributedRuntime ships to workers (swap-the-channel-
+        keep-the-ops, reference README.md:7-11)."""
+        from .distributed import execute_task
+
+        return self.map(execute_task, tasks)
+
     def close(self) -> None:
         pass
 
@@ -87,21 +95,102 @@ def tree_fold(combine: Callable, leaves: List) -> object:
     return level[0]
 
 
+def _fit_block_sizes(
+    gen_inputs: List[GenerationInputs], circuit_config
+) -> TableSizes:
+    """Uniform per-block table sizes: fit the MAX demand over all real
+    txs within the configured ranges. Uniformity is what lets one
+    recursion ladder (one leaf vkey set) cover the whole block — the
+    analogue of the reference's per-config circuit set covering every tx
+    (/root/reference/common/src/prover_state/circuit.rs:77-100)."""
+    from ..evm.transfer import (
+        derive_pi_words,
+        overlap_pattern,
+        transfer_kernel_program,
+    )
+    from ..tables.all import kernel_counts
+
+    merged: dict = {}
+    for gi in gen_inputs:
+        if gi.signed_txn is None:
+            continue
+        _, s, r, m = derive_pi_words(gi)
+        counts = kernel_counts(transfer_kernel_program(overlap_pattern(s, r, m)))
+        for k, v in counts.items():
+            merged[k] = max(merged.get(k, 1), v)
+    return TableSizes.fit(circuit_config, merged)
+
+
 def prove_block(
     gen_inputs: List[GenerationInputs],
     config: StarkConfig,
-    sizes: Optional[TableSizes] = None,
+    sizes: "Optional[TableSizes | object]" = None,  # TableSizes | CircuitConfig
     runtime: Optional[Runtime] = None,
     prev: Optional[ops.GeneratedBlockProof] = None,
+    recursion: bool = False,
 ) -> ops.GeneratedBlockProof:
-    """witness IR -> block proof (reference prover.rs:26-39)."""
+    """witness IR -> block proof (reference prover.rs:26-39).
+
+    recursion=True: per-tx root machine proofs + the aggregation ladder
+    fold produce a constant-size succinct block proof (the reference's
+    AllRecursiveCircuits flow, ops/src/lib.rs:52-101); per-tx multi-STARK
+    bundles are dropped after wrapping."""
     assert len(gen_inputs) >= 2, "padding guarantees >= 2 payloads"
     runtime = runtime or Runtime()
     with span("prove_block", txs=len(gen_inputs)):
-        leaves = runtime.map(
-            lambda gi: ops.tx_proof(gi, config, sizes), gen_inputs
+        if recursion:
+            from ..runtime.prover_state import CircuitConfig
+
+            if isinstance(sizes, CircuitConfig):
+                sizes = _fit_block_sizes(gen_inputs, sizes)
+            elif sizes is None:
+                sizes = TableSizes()
+        # registry tasks, not closures: the same descriptors execute
+        # in-process (Runtime) or on the worker fleet (DistributedRuntime)
+        leaves = runtime.run_tasks(
+            [
+                ("tx_proof", dict(gi=gi, config=config, sizes=sizes,
+                                  recursion=recursion))
+                for gi in gen_inputs
+            ]
         )
         agg = tree_fold(ops.agg_combine, leaves)
         if not isinstance(agg, ops.AggProof):
             raise ops.FatalError("fold must end in an aggregate (>=2 leaves)")
-        return ops.block_proof(agg, prev)
+        bp = ops.block_proof(agg, prev)
+        if recursion:
+            mproofs = [
+                l.root_proof for l in leaves if getattr(l, "root_proof", None)
+            ]
+            if mproofs:
+                with span("p_fold", leaves=len(mproofs)):
+                    top, level = _fold_machine_proofs(
+                        runtime, mproofs, sizes, config
+                    )
+                bp.succinct = ops.SuccinctBlockProof(
+                    top=top, level=level, sizes=sizes
+                )
+        return bp
+
+
+def _fold_machine_proofs(runtime, leaves: List, sizes, config):
+    """Runtime-parallel balanced fold over the recursion ladder — each
+    level's pairwise agg proofs are independent tasks (the reference's
+    tree-parallel AggProof fold over workers, SURVEY §2c.2). Pads to a
+    power of two by repeating the last proof (aggregate.fold_proofs
+    semantics — the verifier replays the padding in its digest tree)."""
+    proofs = list(leaves)
+    while len(proofs) & (len(proofs) - 1):
+        proofs.append(proofs[-1])
+    level = 0
+    while len(proofs) > 1:
+        level += 1
+        proofs = runtime.run_tasks(
+            [
+                ("agg_machine", dict(level=level, left=proofs[i],
+                                     right=proofs[i + 1], sizes=sizes,
+                                     config=config))
+                for i in range(0, len(proofs), 2)
+            ]
+        )
+    return proofs[0], level
