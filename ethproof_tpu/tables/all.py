@@ -253,3 +253,133 @@ def verify_all_tables(
     if proof.proofs[T_CPU].public_inputs != pi_limbs(pi_words):
         return False
     return verify_multi(starks, proof, build_ctls(cpu, with_keccak), config)
+
+
+# -- EVM machine wiring (bytecode-interpreting CPU, tables/evm.py) ------------
+
+
+def build_ctls_evm(machine) -> List[CrossTableLookup]:
+    """CTL graph with the EVM machine in the CPU role. Adds the
+    machine<->BytePacking group (PUSH/MLOAD/MSTORE/CALLDATALOAD windows),
+    which the kasm kernel never uses."""
+    from . import evm as evm_mod
+
+    mem_looking = [(T_CPU, s) for s in machine.memory_ctl_specs()]
+    mem_looking += [(T_BYTEPACK, s) for s in bytepacking.memory_ctl_specs()]
+    mem_looking += [(T_SPONGE, s) for s in keccak_sponge.memory_ctl_specs()]
+    logic_looking = [(T_CPU, s) for s in machine.logic_ctl_specs()]
+    logic_looking += [(T_SPONGE, s) for s in keccak_sponge.logic_ctl_specs()]
+    kc = keccak.KeccakStark()
+    cpu_first, cpu_digest = machine.sponge_ctl_specs()
+    return [
+        CrossTableLookup(
+            looking=tuple((T_CPU, s) for s in machine.arith_ctl_specs()),
+            looked=(T_ARITH, arithmetic.ArithmeticStark.ctl_spec),
+        ),
+        CrossTableLookup(
+            looking=tuple(logic_looking),
+            looked=(T_LOGIC, logic.LogicStark.ctl_spec),
+        ),
+        CrossTableLookup(
+            looking=((T_CPU, machine.bytepack_ctl_spec()),),
+            looked=(T_BYTEPACK, bytepacking.BytePackingStark.ctl_spec),
+        ),
+        CrossTableLookup(
+            looking=tuple(mem_looking),
+            looked=(T_MEM, memory.MemoryStark.ctl_spec),
+        ),
+        CrossTableLookup(
+            looking=((T_SPONGE, keccak_sponge.keccak_input_ctl_spec()),),
+            looked=(T_KECCAK, kc.input_ctl_spec()),
+        ),
+        CrossTableLookup(
+            looking=((T_SPONGE, keccak_sponge.keccak_output_ctl_spec()),),
+            looked=(T_KECCAK, kc.output_ctl_spec()),
+        ),
+        CrossTableLookup(
+            looking=((T_CPU, cpu_first),),
+            looked=(T_SPONGE, keccak_sponge.first_ctl_spec()),
+        ),
+        CrossTableLookup(
+            looking=((T_CPU, cpu_digest),),
+            looked=(T_SPONGE, keccak_sponge.digest_ctl_spec()),
+        ),
+    ]
+
+
+def evm_table_counts(shape, res) -> Dict[str, int]:
+    """Per-table row demand for one machine run (for TableSizes.fit)."""
+    from .keccak_sponge import RATE_BYTES
+
+    blocks = sum(len(r.message) // RATE_BYTES + 1 for r in res.hash_requests)
+    max_ts = 8 * (1 << shape.log_rows)
+    return {
+        "cpu": 1 << shape.log_rows,
+        "arithmetic": len(res.arith_requests),
+        "logic": len(res.logic_requests) + 5 * blocks,
+        "bytepacking": max(len(res.pack_requests), 256),
+        "memory": max(
+            len(res.mem_ops) + 32 * len(res.pack_requests) + 10 * blocks + 1,
+            max_ts,
+        ),
+        "keccak": 24 * blocks,
+        "keccak_sponge": max(blocks, 256),
+    }
+
+
+def prove_evm_tables(
+    machine,
+    res,
+    sizes: TableSizes,
+    config: StarkConfig,
+) -> MultiProof:
+    """Prove all seven tables for one EVM machine run (`res` from
+    evm.execute_evm). The keccak pair is always present (the code hash)."""
+    from .cpu import pi_limbs as _pi_limbs
+
+    assert sizes.keccak is not None
+    arith_tr, _ = arithmetic.generate_trace(res.arith_requests, 1 << sizes.arithmetic)
+    bp_tr, bp_mem_ops = bytepacking.generate_trace(
+        res.pack_requests, 1 << sizes.bytepacking
+    )
+    sponge = keccak_sponge.generate_trace(
+        list(res.hash_requests), 1 << sizes.keccak_sponge
+    )
+    logic_tr, _ = logic.generate_trace(
+        res.logic_requests + sponge.logic_requests, 1 << sizes.logic
+    )
+    mem_tr = memory.generate_trace(
+        res.mem_ops + bp_mem_ops + sponge.mem_ops, 1 << sizes.memory
+    )
+    keccak_tr = keccak.generate_trace(sponge.perm_inputs, 1 << sizes.keccak)
+    traces = [res.trace, arith_tr, logic_tr, bp_tr, mem_tr, keccak_tr, sponge.trace]
+    starks = all_starks(machine, with_keccak=True)
+    pis: List[List[int]] = [_pi_limbs(res.pi_words)] + [[]] * 6
+    return prove_multi(starks, traces, pis, build_ctls_evm(machine), config)
+
+
+def verify_evm_tables(
+    machine,
+    pi_words: List[int],
+    proof: MultiProof,
+    config: StarkConfig,
+) -> bool:
+    """Host verification of an EVM machine multi-proof. Beyond the STARK
+    check, the machine's statement contract requires the VERIFIER to
+    check the public inputs themselves: storage keys strictly increasing
+    (distinctness of the journal directory) and the caller/calldata/
+    codehash words matching the claimed transaction."""
+    from .cpu import pi_limbs as _pi_limbs
+
+    lay = machine.shape.pi_layout
+    keys = [
+        pi_words[lay["storage"] + 3 * i] for i in range(machine.shape.n_skeys)
+    ]
+    if any(b <= a for a, b in zip(keys, keys[1:])):
+        return False  # directory keys must be strictly increasing
+    starks = all_starks(machine, with_keccak=True)
+    if len(proof.proofs) != len(starks):
+        return False
+    if proof.proofs[T_CPU].public_inputs != _pi_limbs(pi_words):
+        return False
+    return verify_multi(starks, proof, build_ctls_evm(machine), config)

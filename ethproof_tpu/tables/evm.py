@@ -1,0 +1,1610 @@
+"""EVM machine table: a bytecode-interpreting CPU STARK.
+
+Reference equivalent: evm_arithmetization's CPU STARK running the asm
+Kernel — fetch/decode/execute over committed contract code, with the
+stack and memory in the Memory table, word packing via BytePacking,
+hashing via KeccakSponge, and 256-bit ops via Arithmetic/Logic CTLs
+[dep: from knowledge; pin /root/reference/Cargo.lock:1675; table named
+at /root/reference/common/src/prover_state/circuit.rs:63]. Where the
+reference interprets EVM inside a hand-written kernel assembly program,
+this machine arithmetizes the EVM cycle directly: one row = one cycle,
+the opcode is FETCHED from code committed in the Memory table and bound
+to the account's code_hash by an in-proof keccak sponge request.
+
+Row phases (the pre-exec schedule is FIXED per `EvmShape`; execution
+length is dynamic via a sticky HALTED bit):
+
+  INIT    write calldata bytes into SEG_CALLDATA, each byte pair bound
+          to the matching public-input limb (one-hot fixed selectors);
+  SVINIT  write the storage directory SEG_SKEYS[i] (touched keys, a
+          public input each, distinct/sorted — checked by the VERIFIER
+          on the public inputs) and pre-values SEG_SVALS[i] (PI-bound);
+  REPACK  load code: write byte pair (REVB[0], REVB[1]) to SEG_CODE and
+          the packed limb to SEG_CODE_PACKED (bytes range-checked; the
+          values are bound transitively by the code-hash sponge);
+  SCAN    jumpdest analysis: read code byte, maintain the inside-push
+          counter, write validity to SEG_JUMPDEST; (byte, pushlen,
+          is_jumpdest) is bound by one logUp against a fixed 256-entry
+          opcode-info table;
+  CHASH   declare + consume the keccak sponge request over
+          SEG_CODE_PACKED and bind the digest to the CODEHASH public
+          input word;
+  EXEC    fetch code[PC] (memory channel 0), decode via a one-hot
+          opcode bank, execute; STOP/RETURN/REVERT set HALTED (sticky)
+          and bind the SUCCESS public input;
+  FINAL   (last rows, timestamps after everything) read the storage
+          journal's final values and bind them to the post-value public
+          inputs; requires HALTED == 1.
+
+Memory segment conventions (per-address value shape):
+  SEG_STACK        one 256-bit word per address (addr = stack slot)
+  SEG_CODE         one byte per address (addr = pc)
+  SEG_CODE_PACKED  one 16-bit limb per address (sponge message layout)
+  SEG_MAIN         one byte per address (EVM byte-addressed memory)
+  SEG_CALLDATA     one byte per address
+  SEG_HASH         one 16-bit limb per address (KECCAK256 repack scratch)
+  SEG_JUMPDEST     0/1 per code address
+  SEG_SKEYS        one word per address (storage key directory)
+  SEG_SVALS        one word per address (storage journal values)
+
+Endianness: EVM values are big-endian byte strings; words here are 16
+little-endian 16-bit limbs. The 32-byte REVB bank mediates: a value
+word V and a byte-stream image R of the same bytes satisfy
+  V_limb[j] = REVB[31-2j] + 256*REVB[30-2j]
+  R_limb[j] = REVB[2j]    + 256*REVB[2j+1]
+so PUSH/MLOAD/MSTORE/CALLDATALOAD route through one BytePacking CTL
+(little-endian packed limbs = R) while the stack value is V.
+
+Documented envelope (host generator raises Unsupported outside it; each
+item is a completeness gap, never a soundness gap):
+  - single call context (the proved frame is the tx's direct call);
+  - no gas accounting in-circuit (host-side only for now);
+  - KECCAK256 lengths even and > 0; memory offsets < 2^32;
+  - REVERT halts with success=0 but state rollback is not replayed
+    (the outer kernel must not use the journal of a reverted frame);
+  - LOG* pops its operands; the event payload binds to receipts
+    host-side (receipts trie is maintained by the witness front-end);
+  - RETURN data is popped but not exposed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..stark.stark import CtlSpec, LC, LookupSpec, Stark
+from . import arithmetic as ar
+from .common import Cols, N_LIMBS, int_to_limbs, limbs_to_int
+from .logic import OP_AND, OP_OR, OP_XOR
+from .memory import MemoryOp
+
+# -- EVM opcodes (the supported set) ------------------------------------------
+
+STOP = 0x00
+ADD, MUL, SUB, DIV, MOD = 0x01, 0x02, 0x03, 0x04, 0x06
+LT, GT, EQ, ISZERO = 0x10, 0x11, 0x14, 0x15
+AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
+SHL, SHR = 0x1B, 0x1C
+KECCAK256 = 0x20
+ADDRESS, CALLER, CALLVALUE = 0x30, 0x33, 0x34
+CALLDATALOAD, CALLDATASIZE = 0x35, 0x36
+POP = 0x50
+MLOAD, MSTORE = 0x51, 0x52
+SLOAD, SSTORE = 0x54, 0x55
+JUMP, JUMPI = 0x56, 0x57
+PC_OP = 0x58
+JUMPDEST = 0x5B
+PUSH0 = 0x5F  # PUSH0..PUSH32 = 0x5F + n
+DUP1 = 0x80  # DUP1..DUP16
+SWAP1 = 0x90  # SWAP1..SWAP16
+LOG0 = 0xA0  # LOG0..LOG4
+RETURN, REVERT = 0xF3, 0xFD
+
+# opcode -> (pops, pushes) for the simple selectors
+_BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
+             MOD: ar.OP_MOD, LT: ar.OP_LT, SHL: None, SHR: None, BYTE_: None}
+# EVM shift/byte operand order differs from the arithmetic table's:
+#   EVM SHL/SHR pop (shift, value); the table wants (value, shift).
+#   EVM BYTE pops (index, value); the table wants (value, index).
+
+_LOGIC = {AND_: OP_AND, OR_: OP_OR, XOR_: OP_XOR}
+
+# memory segments (KERNEL_CTX/SEG 0/1 belong to the kasm kernel)
+SEG_STACK = 2
+SEG_CODE = 3
+SEG_CODE_PACKED = 4
+SEG_MAIN = 5
+SEG_CALLDATA = 6
+SEG_HASH = 7
+SEG_JUMPDEST = 8
+SEG_SKEYS = 9
+SEG_SVALS = 10
+
+EVM_CTX = 0
+
+N_CHAN = 5  # ch0 = instruction fetch, ch1..4 general
+TS_SLOTS = 8  # per-row timestamp slots: channels 0..4, pack 5, sponge 6
+
+WORD_MASK = (1 << 256) - 1
+
+
+class Unsupported(Exception):
+    """Witness outside the machine's documented envelope."""
+
+
+# -- shape (fixes the circuit) -------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EvmShape:
+    """Static parameters that define one EvmStark circuit (the analogue
+    of the reference's per-degree circuit in the recursion ladder)."""
+
+    code_len: int
+    calldata_len: int
+    n_skeys: int  # touched storage slots
+    log_rows: int
+
+    @property
+    def n_calldata_words(self) -> int:
+        return (self.calldata_len + 31) // 32
+
+    @property
+    def n_init_rows(self) -> int:
+        return self.n_calldata_words
+
+    @property
+    def code_padded_len(self) -> int:
+        return self.code_len + (self.code_len % 2)
+
+    @property
+    def repack_windows(self) -> List[Tuple[int, int, int]]:
+        """(byte_base, word_addr, length) per staged word of the padded
+        code: the sponge stages 5 words per 136-byte block (words 0-3 are
+        32 bytes, word 4 is 8), word addresses advancing 5 per block."""
+        out = []
+        L = self.code_padded_len
+        n_blocks = L // 136 + 1
+        for b in range(n_blocks):
+            for w in range(5):
+                base = 136 * b + 32 * w
+                cap = 8 if w == 4 else 32
+                ln = min(cap, L - base)
+                if ln > 0:
+                    out.append((base, 5 * b + w, ln))
+        return out
+
+    @property
+    def n_repack_rows(self) -> int:
+        return len(self.repack_windows)
+
+    @property
+    def n_scan_rows(self) -> int:
+        return self.code_len
+
+    # public input words: CALLER, CALLVALUE, CALLDATA..., CODEHASH,
+    # per-key (KEY, VPRE, VPOST), SUCCESS
+    @property
+    def pi_layout(self) -> Dict[str, int]:
+        lay = {"caller": 0, "callvalue": 1, "calldata": 2}
+        at = 2 + self.n_calldata_words
+        lay["codehash"] = at
+        lay["storage"] = at + 1
+        lay["success"] = at + 1 + 3 * self.n_skeys
+        return lay
+
+    @property
+    def num_pi_words(self) -> int:
+        return self.pi_layout["success"] + 1
+
+
+# -- witness columns -----------------------------------------------------------
+
+_c = Cols()
+PC = _c.one()
+SP = _c.one()
+HALTED = _c.one()  # sticky; set by STOP/RETURN/REVERT
+R0 = _c.one()  # repack source pointer (byte addr)
+R1 = _c.one()  # repack destination pointer (limb addr)
+R2 = _c.one()  # repack bytes remaining
+HP = _c.one()  # next free SEG_HASH limb address
+INPUSH = _c.one()  # scan: bytes of push data still to skip
+PUSHLEN = _c.one()  # scan: pushlen(code byte) from the opcode-info table
+IS_JD = _c.one()  # scan: byte is a JUMPDEST opcode (and INPUSH == 0)
+SCAN_COMB = _c.one()  # byte + 256*PUSHLEN + 2^16*IS_JD (logUp-bound)
+SIDX = _c.one()  # storage journal index witness
+Z = _c.one()  # iszero/eq/jumpi/scan zero-flag (1 on rows that bind no ZS)
+ZINV = _c.one()  # inverse witness for the nonzero branch
+ZS = _c.one()  # the limb-sum whose zeroness Z decides (bound per op)
+KINV = _c.one()  # storage: inverse witness (directory key sum != 0)
+H_FVIRT = _c.one()  # sponge final-block virt (digest row)
+H_FLEN = _c.one()  # sponge final-block length (digest row)
+H_TS = _c.one()  # sponge request ts (set at declare, carried to digest)
+HS_SEG = _c.one()  # sponge message segment (declare + digest rows)
+HS_VIRT = _c.one()  # sponge message base address (declare row)
+SP_FIRST = _c.one()  # sponge first-row CTL filter
+SP_FINAL = _c.one()  # sponge final-row CTL filter
+AR_PLAIN = _c.one()  # arithmetic CTL filter (EVM operand order)
+AR_SWAP = _c.one()  # arithmetic CTL filter (swapped operand order)
+LG_PLAIN = _c.one()  # logic CTL filter (AND/OR/XOR)
+IS_PACK = _c.one()  # bytepacking CTL filter
+PACK_WRITE = _c.one()  # bytepacking direction (1 = unpack-to-memory)
+PACK_SEG = _c.one()  # bytepacking segment
+PACK_VIRT = _c.one()  # bytepacking base byte address
+PACK_LEN = _c.one()  # bytepacking window length (32 on exec rows)
+
+# channels: USED, IS_READ, SEG, VIRT, VALUE[16]
+CH_USED: List[int] = []
+CH_ISREAD: List[int] = []
+CH_SEG: List[int] = []
+CH_VIRT: List[int] = []
+CH_VAL: List[List[int]] = []
+for _i in range(N_CHAN):
+    CH_USED.append(_c.one())
+    CH_ISREAD.append(_c.one())
+    CH_SEG.append(_c.one())
+    CH_VIRT.append(_c.one())
+    CH_VAL.append(_c.many(N_LIMBS))
+
+REVB = _c.many(32)  # byte bank (value <-> byte-stream mediation)
+
+# opcode selectors: simple one-hots + family selectors with an N bank
+SIMPLE_OPS = (
+    STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, EQ, ISZERO,
+    AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
+    ADDRESS, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
+    POP, MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, PC_OP, JUMPDEST,
+    RETURN, REVERT,
+)
+SEL = {op: _c.one() for op in SIMPLE_OPS}
+F_PUSH = _c.one()  # PUSH0..32 family
+F_DUP = _c.one()  # DUP1..16
+F_SWAP = _c.one()  # SWAP1..16
+F_LOG = _c.one()  # LOG0..4
+NSEL = _c.many(33)  # one-hot n for PUSH (0..32), DUP/SWAP (1..16), LOG (0..4)
+S_KPACK = _c.one()  # internal: KECCAK256 repack micro-cycle
+S_KDIG = _c.one()  # internal: KECCAK256 digest cycle
+
+BYTE_MULT = _c.one()  # byte range-check multiplicities
+COMB_MULT = _c.one()  # opcode-info lookup multiplicities
+NUM_COLUMNS = _c.count
+
+# fixed columns: row counter, byte counter, opcode-info table, and the
+# per-shape phase schedule built in EvmStark.__init__
+OPINFO_SHIFT_PL = 256  # combined = byte + 256*pushlen + 2^16*is_jd
+OPINFO_SHIFT_JD = 1 << 16
+
+
+def _opinfo(byte: int) -> int:
+    pushlen = byte - PUSH0 if PUSH0 <= byte <= PUSH0 + 32 else 0
+    is_jd = 1 if byte == JUMPDEST else 0
+    return byte + OPINFO_SHIFT_PL * pushlen + OPINFO_SHIFT_JD * is_jd
+
+
+# -- host-side program assembly (tests / tx front-end) --------------------------
+
+
+def asm(*items) -> bytes:
+    """Tiny assembler: ints are opcodes; ("push", value, n?) pushes."""
+    out = bytearray()
+    for it in items:
+        if isinstance(it, int):
+            out.append(it)
+        elif isinstance(it, tuple) and it[0] == "push":
+            val = it[1]
+            n = it[2] if len(it) > 2 else max((val.bit_length() + 7) // 8, 1)
+            if val == 0 and len(it) <= 2:
+                n = 1
+            out.append(PUSH0 + n)
+            out.extend(val.to_bytes(n, "big"))
+        else:
+            raise ValueError(f"bad asm item {it!r}")
+    return bytes(out)
+
+
+# -- host interpreter / trace generation ----------------------------------------
+
+
+@dataclass
+class EvmInputs:
+    code: bytes
+    calldata: bytes
+    caller: int
+    callvalue: int
+    storage_pre: Dict[int, int]  # touched key -> pre value (sorted by key)
+
+
+@dataclass
+class EvmResult:
+    trace: np.ndarray
+    mem_ops: List[MemoryOp]
+    arith_requests: List[Tuple[int, int, int]]
+    logic_requests: List[Tuple[int, int, int]]
+    pack_requests: List  # bytepacking.PackRequest
+    hash_requests: List  # keccak_sponge.HashRequest
+    pi_words: List[int]
+    storage_post: Dict[int, int]
+    success: int
+    logs: List[Tuple[List[int], bytes]]  # (topics, data) — host-side receipts
+    return_data: bytes
+
+def _word_limbs(v: int) -> List[int]:
+    return int_to_limbs(v)
+
+
+def _le_word(data32: bytes) -> int:
+    return int.from_bytes(data32, "little")
+
+
+class _Emitter:
+    """Host-side row/trace emitter shared by all phases."""
+
+    def __init__(self, shape: EvmShape):
+        n = 1 << shape.log_rows
+        self.shape = shape
+        self.n = n
+        self.tr = np.zeros((NUM_COLUMNS, n), dtype=np.uint64)
+        self.tr[Z, :] = 1
+        self.mem_ops: List[MemoryOp] = []
+        self.arith: List[Tuple[int, int, int]] = []
+        self.logic: List[Tuple[int, int, int]] = []
+        self.packs: List = []
+        self.hashes: List = []
+        self.mem: Dict[Tuple[int, int], int] = {}  # (seg, virt) -> value
+        self.byte_mult = np.zeros(n, dtype=np.uint64)
+        self.comb_mult = np.zeros(n, dtype=np.uint64)
+
+    def chan(self, r: int, i: int, is_read: int, seg: int, virt: int,
+             value: int) -> None:
+        assert 0 <= virt < self.n * TS_SLOTS
+        self.tr[CH_USED[i], r] = 1
+        self.tr[CH_ISREAD[i], r] = is_read
+        self.tr[CH_SEG[i], r] = seg
+        self.tr[CH_VIRT[i], r] = virt
+        for k, l in enumerate(_word_limbs(value)):
+            self.tr[CH_VAL[i][k], r] = l
+        self.mem_ops.append(
+            MemoryOp(EVM_CTX, seg, virt, TS_SLOTS * r + i, is_read, value)
+        )
+        if is_read:
+            assert self.mem.get((seg, virt), 0) == value, (seg, virt)
+        else:
+            self.mem[(seg, virt)] = value
+
+    def revb(self, r: int, data: bytes) -> None:
+        for i, b in enumerate(data):
+            self.tr[REVB[i], r] = b
+
+    def pack(self, r: int, is_read: int, seg: int, virt: int, data: bytes) -> None:
+        """One BytePacking request; REVB holds the bytes (zero-extended —
+        the packing CTL sends exactly len(data) bytes)."""
+        from .bytepacking import PackRequest
+
+        self.tr[IS_PACK, r] = 1
+        self.tr[PACK_WRITE, r] = 1 - is_read
+        self.tr[PACK_SEG, r] = seg
+        self.tr[PACK_VIRT, r] = virt
+        self.tr[PACK_LEN, r] = len(data)
+        self.revb(r, data)
+        self.packs.append(
+            PackRequest(is_read, EVM_CTX, seg, virt, TS_SLOTS * r + 5, data)
+        )
+        for i, b in enumerate(data):
+            if is_read:
+                assert self.mem.get((seg, virt + i), 0) == b
+            else:
+                self.mem[(seg, virt + i)] = b
+
+    def finish_mults(self) -> None:
+        assert self.n >= 256, "byte range check needs >= 2^8 rows"
+        revb_vals = self.tr[np.asarray(REVB, dtype=np.intp)]
+        bc = np.bincount(revb_vals.ravel().astype(np.int64), minlength=256)
+        assert bc.shape[0] <= 256 or bc[256:].sum() == 0
+        # fixed byte counter is min(row, 255): row b < 256 holds value b
+        self.byte_mult[:256] += bc[:256].astype(np.uint64)
+        self.tr[BYTE_MULT] = self.byte_mult
+        comb_vals = self.tr[SCAN_COMB]
+        # opcode-info fixed table: row i holds _opinfo(i) for i < 256, 0 above
+        lut = {(_opinfo(i)): i for i in range(255, -1, -1)}
+        cm = np.zeros(self.n, dtype=np.uint64)
+        for v in comb_vals:
+            cm[lut[int(v)]] += 1
+        self.tr[COMB_MULT] = cm
+
+
+def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
+    """Run the machine on host, emitting the trace + all table requests.
+
+    Phases follow the fixed schedule (EvmStark.fixed_columns must agree)."""
+    from .keccak_sponge import HashRequest
+
+    code, calldata = inputs.code, inputs.calldata
+    assert len(code) == shape.code_len and len(calldata) == shape.calldata_len
+    skeys = sorted(inputs.storage_pre)
+    assert len(skeys) == shape.n_skeys
+    em = _Emitter(shape)
+    tr = em.tr
+    lay = shape.pi_layout
+
+    # public input words
+    cd_words = [
+        int.from_bytes(calldata[32 * w: 32 * w + 32].ljust(32, b"\0"), "big")
+        for w in range(shape.n_calldata_words)
+    ]
+    from ..hash.keccak import keccak256
+
+    code_padded = code + b"\0" * (len(code) % 2)
+    codehash = _le_word(keccak256(code_padded))
+    pi_words = [inputs.caller, inputs.callvalue] + cd_words + [codehash]
+    for k in skeys:
+        pi_words += [k, inputs.storage_pre[k], 0]  # vpost patched below
+
+    r = 0
+    # -- INIT: one row per calldata word — a bytepacking window WRITES the
+    # word's bytes; REVB equals the PI word's big-endian bytes
+    for w in range(shape.n_calldata_words):
+        ln = min(32, shape.calldata_len - 32 * w)
+        data = calldata[32 * w: 32 * w + ln]
+        em.pack(r, 0, SEG_CALLDATA, 32 * w, data)
+        em.revb(r, cd_words[w].to_bytes(32, "big"))
+        r += 1
+    # -- SVINIT: storage directory + pre values
+    for i, k in enumerate(skeys):
+        em.chan(r, 1, 0, SEG_SKEYS, i, k)
+        em.chan(r, 2, 0, SEG_SVALS, i, inputs.storage_pre[k])
+        r += 1
+    # -- REPACK: one row per staged word — a bytepacking window WRITES the
+    # code bytes; channel 1 writes the little-endian word to SEG_CODE_PACKED
+    code_padded_now = code + b"\0" * (len(code) % 2)
+    for base, waddr, ln in shape.repack_windows:
+        data = code_padded_now[base: base + ln]
+        em.pack(r, 0, SEG_CODE, base, data)
+        word = int.from_bytes(data, "little")
+        em.chan(r, 1, 0, SEG_CODE_PACKED, waddr, word)
+        r += 1
+    # -- SCAN: jumpdest analysis
+    inpush = 0
+    jumpdests = set()
+    for i in range(shape.code_len):
+        b = code[i]
+        # PUSHLEN/IS_JD always hold the byte's TRUE properties (bound by
+        # the opcode-info logUp); the zero-flag Z (INPUSH == 0) gates them
+        pl = b - PUSH0 if PUSH0 <= b <= PUSH0 + 32 else 0
+        is_jd = 1 if b == JUMPDEST else 0
+        valid = 1 if (inpush == 0 and is_jd) else 0
+        tr[INPUSH, r] = inpush
+        tr[PUSHLEN, r] = pl
+        tr[IS_JD, r] = is_jd
+        tr[SCAN_COMB, r] = _opinfo(b)
+        _fill_iszero(tr, r, inpush)
+        em.chan(r, 1, 1, SEG_CODE, i, b)
+        em.chan(r, 2, 0, SEG_JUMPDEST, i, valid)
+        if valid:
+            jumpdests.add(i)
+        inpush = pl if inpush == 0 else inpush - 1
+        r += 1
+    assert inpush == 0, "code ends inside push data"
+    # -- CHASH: declare + digest of the packed code
+    hash_ts = TS_SLOTS * r + 6
+    em.hashes.append(
+        HashRequest(EVM_CTX, SEG_CODE_PACKED, 0, hash_ts, code_padded, staged=False)
+    )
+    tr[SP_FIRST, r] = 1
+    tr[HS_SEG, r] = SEG_CODE_PACKED
+    tr[HS_VIRT, r] = 0
+    tr[H_TS, r] = hash_ts
+    r += 1
+    n_blocks = len(code_padded) // 136 + 1
+    final_virt = (n_blocks - 1) * 5
+    final_len = len(code_padded) - (n_blocks - 1) * 136
+    tr[SP_FINAL, r] = 1
+    tr[HS_SEG, r] = SEG_CODE_PACKED
+    tr[H_TS, r] = hash_ts
+    tr[H_FVIRT, r] = final_virt
+    tr[H_FLEN, r] = final_len
+    em.revb(r, codehash.to_bytes(32, "little"))
+    r += 1
+
+    exec_start = r
+    # -- EXEC ------------------------------------------------------------------
+    stack: List[int] = []
+    evm_mem: Dict[int, int] = {}  # byte-addressed
+    storage = dict(inputs.storage_pre)
+    logs: List[Tuple[List[int], bytes]] = []
+    return_data = b""
+    success = 1
+    pc = 0
+    hp = 0  # SEG_HASH allocation pointer
+    sp = 0
+    n_final = shape.n_skeys
+    exec_end = em.n - n_final
+
+    def spush(row: int, ch: int, v: int) -> None:
+        nonlocal sp
+        em.chan(row, ch, 0, SEG_STACK, sp, v)
+        stack.append(v)
+        sp += 1
+
+    def spop(row: int, ch: int) -> int:
+        nonlocal sp
+        v = stack.pop()
+        sp -= 1
+        em.chan(row, ch, 1, SEG_STACK, sp, v)
+        return v
+
+    halted = False
+    while not halted:
+        if r >= exec_end:
+            raise Unsupported(f"execution needs more than {exec_end - exec_start} rows")
+        op = code[pc] if pc < len(code) else STOP
+        tr[PC, r] = pc
+        tr[SP, r] = sp
+        tr[HP, r] = hp
+        em.chan(r, 0, 1, SEG_CODE, pc, op)  # fetch
+        if op in SEL:
+            tr[SEL[op], r] = 1
+        adv = 1
+
+        if op == STOP:
+            halted = True
+        elif op in _BINARITH:
+            a = spop(r, 1)
+            b = spop(r, 2)
+            if op == ADD:
+                res = (a + b) & WORD_MASK
+                em.arith.append((ar.OP_ADD, a, b))
+            elif op == MUL:
+                res = (a * b) & WORD_MASK
+                em.arith.append((ar.OP_MUL, a, b))
+            elif op == SUB:
+                res = (a - b) & WORD_MASK
+                em.arith.append((ar.OP_SUB, a, b))
+            elif op == DIV:
+                res = a // b if b else 0
+                em.arith.append((ar.OP_DIV, a, b))
+            elif op == MOD:
+                res = a % b if b else 0
+                em.arith.append((ar.OP_MOD, a, b))
+            elif op == LT:
+                res = 1 if a < b else 0
+                em.arith.append((ar.OP_LT, a, b))
+            elif op == SHL:  # EVM pops (shift, value)
+                res = (b << a) & WORD_MASK if a < 256 else 0
+                em.arith.append((ar.OP_SHL, b, a))
+            elif op == SHR:
+                res = (b >> a) if a < 256 else 0
+                em.arith.append((ar.OP_SHR, b, a))
+            elif op == BYTE_:  # EVM pops (index, value)
+                res = (b >> (8 * (31 - a))) & 0xFF if a < 32 else 0
+                em.arith.append((ar.OP_BYTE, b, a))
+            tr[AR_SWAP if op in (SHL, SHR, BYTE_) else AR_PLAIN, r] = 1
+            spush(r, 3, res)
+        elif op == GT:  # a > b == b < a: swapped LT request
+            a = spop(r, 1)
+            b = spop(r, 2)
+            res = 1 if a > b else 0
+            em.arith.append((ar.OP_LT, b, a))
+            tr[AR_SWAP, r] = 1
+            spush(r, 3, res)
+        elif op == EQ:
+            a = spop(r, 1)
+            b = spop(r, 2)
+            d = (a - b) & WORD_MASK
+            em.arith.append((ar.OP_SUB, a, b))
+            for k, l in enumerate(_word_limbs(d)):
+                tr[CH_VAL[4][k], r] = l  # scratch (no memory op: USED=0)
+            _fill_iszero(tr, r, d)
+            spush(r, 3, 1 if d == 0 else 0)
+        elif op == ISZERO:
+            a = spop(r, 1)
+            _fill_iszero(tr, r, a)
+            spush(r, 2, 1 if a == 0 else 0)
+        elif op in _LOGIC:
+            a = spop(r, 1)
+            b = spop(r, 2)
+            res = {AND_: a & b, OR_: a | b, XOR_: a ^ b}[op]
+            em.logic.append((_LOGIC[op], a, b))
+            tr[LG_PLAIN, r] = 1
+            spush(r, 3, res)
+        elif op == NOT_:
+            a = spop(r, 1)
+            res = a ^ WORD_MASK
+            em.logic.append((OP_XOR, a, WORD_MASK))
+            spush(r, 2, res)
+        elif PUSH0 <= op <= PUSH0 + 32:
+            n = op - PUSH0
+            tr[F_PUSH, r] = 1
+            tr[NSEL[n], r] = 1
+            val = int.from_bytes(code[pc + 1: pc + 1 + n], "big") if n else 0
+            if n:
+                window = bytes(
+                    code[pc + 1 + k] if pc + 1 + k < len(code) else 0
+                    for k in range(32)
+                )
+                em.pack(r, 1, SEG_CODE, pc + 1, window)
+            spush(r, 1, val)
+            adv = 1 + n
+        elif DUP1 <= op <= DUP1 + 15:
+            n = op - DUP1 + 1
+            tr[F_DUP, r] = 1
+            tr[NSEL[n], r] = 1
+            v = stack[-n]
+            em.chan(r, 1, 1, SEG_STACK, sp - n, v)
+            spush(r, 2, v)
+        elif SWAP1 <= op <= SWAP1 + 15:
+            n = op - SWAP1 + 1
+            tr[F_SWAP, r] = 1
+            tr[NSEL[n], r] = 1
+            a, b = stack[-1], stack[-1 - n]
+            em.chan(r, 1, 1, SEG_STACK, sp - 1, a)
+            em.chan(r, 2, 1, SEG_STACK, sp - 1 - n, b)
+            em.chan(r, 3, 0, SEG_STACK, sp - 1, b)
+            em.chan(r, 4, 0, SEG_STACK, sp - 1 - n, a)
+            stack[-1], stack[-1 - n] = b, a
+        elif LOG0 <= op <= LOG0 + 4:
+            n = op - LOG0
+            tr[F_LOG, r] = 1
+            tr[NSEL[n], r] = 1
+            ofs, ln = stack[-1], stack[-2]
+            topics = [stack[-3 - k] for k in range(n)]
+            data = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
+            logs.append((topics, data))
+            del stack[-2 - n:]
+            sp -= 2 + n  # pure sp drop: dead cells need no reads
+        elif op == POP:
+            stack.pop()
+            sp -= 1  # pure sp drop: dead cell needs no read
+        elif op == PC_OP:
+            spush(r, 1, pc)
+        elif op == ADDRESS:
+            raise Unsupported("ADDRESS needs the callee context word")
+        elif op == CALLER:
+            spush(r, 1, inputs.caller)
+        elif op == CALLVALUE:
+            spush(r, 1, inputs.callvalue)
+        elif op == CALLDATASIZE:
+            spush(r, 1, shape.calldata_len)
+        elif op == CALLDATALOAD:
+            ofs = spop(r, 1)
+            if ofs >= 1 << 32:
+                raise Unsupported("calldata offset >= 2^32")
+            window = bytes(
+                calldata[ofs + k] if ofs + k < len(calldata) else 0
+                for k in range(32)
+            )
+            em.pack(r, 1, SEG_CALLDATA, ofs, window)
+            spush(r, 2, int.from_bytes(window, "big"))
+        elif op == MLOAD:
+            ofs = spop(r, 1)
+            if ofs >= 1 << 32:
+                raise Unsupported("memory offset >= 2^32")
+            window = bytes(evm_mem.get(ofs + k, 0) for k in range(32))
+            em.pack(r, 1, SEG_MAIN, ofs, window)
+            spush(r, 2, int.from_bytes(window, "big"))
+        elif op == MSTORE:
+            ofs = spop(r, 1)
+            val = spop(r, 2)
+            if ofs >= 1 << 32:
+                raise Unsupported("memory offset >= 2^32")
+            data = val.to_bytes(32, "big")
+            em.pack(r, 0, SEG_MAIN, ofs, data)
+            for k, byte in enumerate(data):
+                evm_mem[ofs + k] = byte
+        elif op == KECCAK256:
+            # SETUP row: pop (ofs, len), declare the sponge request; KPACK
+            # micro-rows stage one 32-byte word each (bytepacking read +
+            # word write to SEG_HASH); a KDIG row consumes the digest.
+            ofs = spop(r, 1)
+            ln = spop(r, 2)
+            if ln == 0 or ln % 32 or ln > 128:
+                raise Unsupported(
+                    "KECCAK256 length must be a positive multiple of 32 "
+                    "bytes <= 128 (single sponge block)"
+                )
+            if ofs >= 1 << 32:
+                raise Unsupported("memory offset >= 2^32")
+            msg = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
+            tr[R0, r] = ofs
+            tr[R1, r] = hp
+            tr[R2, r] = ln
+            tr[SP_FIRST, r] = 1
+            hash_ts = TS_SLOTS * r + 6
+            tr[HS_SEG, r] = SEG_HASH
+            tr[HS_VIRT, r] = hp
+            tr[H_TS, r] = hash_ts
+            em.hashes.append(
+                HashRequest(EVM_CTX, SEG_HASH, hp, hash_ts, msg, staged=False)
+            )
+            base_hp = hp
+            r += 1
+            r0, r1, r2 = ofs, hp, ln
+            while r2 > 0:
+                if r >= exec_end:
+                    raise Unsupported("execution rows exhausted in KECCAK256")
+                tr[S_KPACK, r] = 1
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[R0, r], tr[R1, r], tr[R2, r] = r0, r1, r2
+                tr[HP, r] = base_hp
+                tr[HS_SEG, r] = SEG_HASH
+                tr[H_TS, r] = hash_ts
+                data = bytes(evm_mem.get(r0 + k, 0) for k in range(32))
+                em.pack(r, 1, SEG_MAIN, r0, data)
+                em.chan(r, 1, 0, SEG_HASH, r1, int.from_bytes(data, "little"))
+                r0, r1, r2 = r0 + 32, r1 + 1, r2 - 32
+                r += 1
+            if r >= exec_end:
+                raise Unsupported("execution rows exhausted in KECCAK256")
+            digest = keccak256(msg)
+            tr[S_KDIG, r] = 1
+            tr[SP_FINAL, r] = 1
+            tr[PC, r] = pc
+            tr[SP, r] = sp
+            tr[R1, r] = r1
+            tr[HS_SEG, r] = SEG_HASH
+            tr[H_TS, r] = hash_ts
+            tr[H_FVIRT, r] = base_hp  # single block: final virt = base
+            tr[H_FLEN, r] = ln
+            em.revb(r, digest)  # LE byte stream of the LE digest word
+            hp = base_hp + 5  # a block reserves 5 staged-word slots
+            tr[HP, r] = hp
+            spush(r, 1, int.from_bytes(digest, "big"))
+        elif op in (SLOAD, SSTORE):
+            key = spop(r, 1)
+            idx = skeys.index(key)
+            tr[SIDX, r] = idx
+            ksum = sum(_word_limbs(key))
+            from ..gf import field_host as fh
+
+            tr[KINV, r] = fh.inv(ksum % fh.P)
+            if op == SLOAD:
+                em.chan(r, 2, 1, SEG_SKEYS, idx, key)
+                em.chan(r, 3, 1, SEG_SVALS, idx, storage[key])
+                spush(r, 4, storage[key])
+            else:
+                val = spop(r, 2)
+                em.chan(r, 3, 1, SEG_SKEYS, idx, key)
+                em.chan(r, 4, 0, SEG_SVALS, idx, val)
+                storage[key] = val
+        elif op == JUMP:
+            dest = spop(r, 1)
+            em.chan(r, 2, 1, SEG_JUMPDEST, dest, 1)
+            assert dest in jumpdests, f"invalid jump dest {dest}"
+            pc = dest
+            adv = 0
+        elif op == JUMPI:
+            dest = spop(r, 1)
+            cond = spop(r, 2)
+            _fill_iszero(tr, r, cond)
+            if cond:
+                em.chan(r, 3, 1, SEG_JUMPDEST, dest, 1)
+                assert dest in jumpdests, f"invalid jump dest {dest}"
+                pc = dest
+                adv = 0
+        elif op == JUMPDEST:
+            pass
+        elif op in (RETURN, REVERT):
+            ofs, ln = stack[-1], stack[-2]
+            del stack[-2:]
+            sp -= 2  # pure sp drop: return data is not exposed (envelope)
+            return_data = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
+            success = 1 if op == RETURN else 0
+            halted = True
+        else:
+            raise Unsupported(f"opcode {op:#x} not in the machine's set")
+        if op != KECCAK256:
+            pc += adv
+        else:
+            pc += 1
+        r += 1
+
+    halt_row = r - 1
+    # padding exec rows: HALTED sticks, registers carry
+    for rr in range(r, exec_end):
+        tr[HALTED, rr] = 1
+        tr[PC, rr] = pc
+        tr[SP, rr] = sp
+        tr[HP, rr] = hp
+    tr[HALTED, halt_row] = 0  # halt row itself is active; sticky from next
+    # -- FINAL: bind post-values
+    for i, k in enumerate(skeys):
+        rr = exec_end + i
+        tr[HALTED, rr] = 1
+        tr[PC, rr] = pc
+        tr[SP, rr] = sp
+        tr[HP, rr] = hp
+        em.chan(rr, 1, 1, SEG_SVALS, i, storage[k])
+        pi_words[lay["storage"] + 3 * i + 2] = storage[k]
+    pi_words.append(success)
+
+    em.finish_mults()
+    return EvmResult(
+        trace=em.tr,
+        mem_ops=em.mem_ops,
+        arith_requests=em.arith,
+        logic_requests=em.logic,
+        pack_requests=em.packs,
+        hash_requests=em.hashes,
+        pi_words=pi_words,
+        storage_post=storage,
+        success=success,
+        logs=logs,
+        return_data=return_data,
+    )
+
+
+def _fill_iszero(tr, r, v: int) -> None:
+    from ..gf import field_host as fh
+
+    s = sum(_word_limbs(v)) % fh.P
+    tr[ZS, r] = s
+    if v == 0:
+        tr[Z, r] = 1
+    else:
+        tr[Z, r] = 0
+        tr[ZINV, r] = fh.inv(s)
+
+# -- the STARK -----------------------------------------------------------------
+
+# per-opcode SP delta and PC advance for the simple selectors
+_SP_DELTA = {
+    STOP: 0, ADD: -1, MUL: -1, SUB: -1, DIV: -1, MOD: -1, LT: -1, GT: -1,
+    EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
+    SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
+    CALLDATALOAD: 0, CALLDATASIZE: 1, POP: -1, MLOAD: 0, MSTORE: -2,
+    SLOAD: 0, SSTORE: -2, JUMP: -1, JUMPI: -2, PC_OP: 1, JUMPDEST: 0,
+    RETURN: -2, REVERT: -2, ADDRESS: 1,
+}
+_PC_ADV = {op: 1 for op in SIMPLE_OPS}
+_PC_ADV[JUMP] = 0  # handled by the jump correction term
+_PC_ADV[KECCAK256] = 0  # the trailing KDIG row advances pc
+
+# arithmetic-table ops in EVM operand order (ch1, ch2 as popped)
+_ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
+                DIV: ar.OP_DIV, MOD: ar.OP_MOD, LT: ar.OP_LT}
+# swapped: the table wants (value, count) / (value, index) / LT reversed
+_ARITH_SWAP = {GT: ar.OP_LT, SHL: ar.OP_SHL, SHR: ar.OP_SHR, BYTE_: ar.OP_BYTE}
+
+
+class EvmStark(Stark):
+    """One instance per EvmShape (shape fixes the pre-exec schedule)."""
+
+    num_columns = NUM_COLUMNS
+    constraint_degree = 3
+
+    def __init__(self, shape: EvmShape):
+        self.shape = shape
+        self.num_public_inputs = shape.num_pi_words * N_LIMBS
+        f = Cols()
+        self.F_ROW = f.one()
+        self.F_BYTE = f.one()  # min(row, 255)
+        self.F_OPINFO = f.one()  # opcode-info table (rows 0..255)
+        self.F_INIT = f.one()
+        self.F_SVINIT = f.one()
+        self.F_REPACK = f.one()
+        self.F_SCAN = f.one()
+        self.F_SCAN_FIRST = f.one()
+        self.F_SCAN_TRANS = f.one()  # scan rows except the last
+        self.F_SCAN_LAST = f.one()
+        self.F_CHD = f.one()  # code-hash declare row
+        self.F_CHG = f.one()  # code-hash digest row
+        self.F_EXEC = f.one()
+        self.F_FINAL = f.one()
+        self.F_A1 = f.one()  # per-row static addresses
+        self.F_A2 = f.one()
+        self.F_A3 = f.one()
+        self.F_PLEN = f.one()  # INIT/REPACK: bytepacking window length
+        self.F_CDSEL = f.many(shape.n_calldata_words)  # INIT: PI word one-hot
+        self.F_SKSEL = f.many(shape.n_skeys)  # SVINIT row i
+        self.F_SVPOSTSEL = f.many(shape.n_skeys)  # FINAL row i
+        self.num_fixed_columns = f.count
+        self.exec_start = (
+            shape.n_init_rows + shape.n_skeys + shape.n_repack_rows
+            + shape.n_scan_rows + 2
+        )
+        self.lookups = [
+            LookupSpec(
+                looking_cols=tuple(REVB),
+                table_col=NUM_COLUMNS + self.F_BYTE,
+                multiplicity_col=BYTE_MULT,
+            ),
+            LookupSpec(
+                looking_cols=(SCAN_COMB,),
+                table_col=NUM_COLUMNS + self.F_OPINFO,
+                multiplicity_col=COMB_MULT,
+            ),
+        ]
+
+    # -- fixed schedule -------------------------------------------------------
+
+    def fixed_columns(self, n: int) -> np.ndarray:
+        s = self.shape
+        assert n == 1 << s.log_rows and n >= 256
+        fx = np.zeros((self.num_fixed_columns, n), dtype=np.uint64)
+        fx[self.F_ROW] = np.arange(n, dtype=np.uint64)
+        fx[self.F_BYTE] = np.minimum(np.arange(n), 255)
+        for i in range(256):
+            fx[self.F_OPINFO, i] = _opinfo(i)
+        r = 0
+        for w in range(s.n_calldata_words):
+            fx[self.F_INIT, r] = 1
+            fx[self.F_A1, r] = 32 * w
+            fx[self.F_PLEN, r] = min(32, s.calldata_len - 32 * w)
+            fx[self.F_CDSEL[w], r] = 1
+            r += 1
+        for i in range(s.n_skeys):
+            fx[self.F_SVINIT, r] = 1
+            fx[self.F_A1, r] = i
+            fx[self.F_SKSEL[i], r] = 1
+            r += 1
+        for base, waddr, ln in s.repack_windows:
+            fx[self.F_REPACK, r] = 1
+            fx[self.F_A1, r] = base
+            fx[self.F_A3, r] = waddr
+            fx[self.F_PLEN, r] = ln
+            r += 1
+        scan_start = r
+        for i in range(s.n_scan_rows):
+            fx[self.F_SCAN, r] = 1
+            fx[self.F_A1, r] = i
+            fx[self.F_SCAN_FIRST, r] = 1 if i == 0 else 0
+            fx[self.F_SCAN_TRANS, r] = 1 if i < s.n_scan_rows - 1 else 0
+            fx[self.F_SCAN_LAST, r] = 1 if i == s.n_scan_rows - 1 else 0
+            r += 1
+        fx[self.F_CHD, r] = 1
+        r += 1
+        fx[self.F_CHG, r] = 1
+        r += 1
+        assert r == self.exec_start
+        exec_end = n - s.n_skeys
+        fx[self.F_EXEC, r:exec_end] = 1
+        for i in range(s.n_skeys):
+            rr = exec_end + i
+            fx[self.F_FINAL, rr] = 1
+            fx[self.F_A1, rr] = i
+            fx[self.F_SVPOSTSEL[i], rr] = 1
+        return fx
+
+    # -- CTL specs --------------------------------------------------------------
+
+    def _f(self, i: int) -> int:
+        return NUM_COLUMNS + i
+
+    def _ts(self, slot: int) -> LC:
+        return LC(terms=((self._f(self.F_ROW), TS_SLOTS),), const=slot)
+
+    def memory_ctl_specs(self) -> List[CtlSpec]:
+        out = []
+        for i in range(N_CHAN):
+            cols: List = [
+                LC(terms=(), const=EVM_CTX),
+                CH_SEG[i],
+                CH_VIRT[i],
+                self._ts(i),
+                CH_ISREAD[i],
+            ] + list(CH_VAL[i])
+            out.append(CtlSpec(columns=tuple(cols), filter_col=CH_USED[i]))
+        return out
+
+    def _r_limb(self, j: int) -> LC:
+        return LC(terms=((REVB[2 * j], 1), (REVB[2 * j + 1], 256)), const=0)
+
+    def bytepack_ctl_spec(self) -> CtlSpec:
+        """(op, ctx, seg, virt, ts, len=32, limbs) — little-endian packed
+        window = R-limbs of REVB (bytepacking.ctl_spec layout)."""
+        from .bytepacking import OP_BYTEPACK
+
+        cols: List = [
+            LC(terms=(), const=OP_BYTEPACK),
+            LC(terms=(), const=EVM_CTX),
+            PACK_SEG,
+            PACK_VIRT,
+            self._ts(5),
+            PACK_LEN,
+        ] + [self._r_limb(j) for j in range(N_LIMBS)]
+        return CtlSpec(columns=tuple(cols), filter_col=IS_PACK)
+
+    def _opid_lc(self, table: Dict[int, int]) -> LC:
+        return LC(terms=tuple((SEL[op], tid) for op, tid in table.items()), const=0)
+
+    def arith_ctl_specs(self) -> List[CtlSpec]:
+        plain = CtlSpec(
+            columns=tuple(
+                [self._opid_lc(_ARITH_PLAIN)] + CH_VAL[1] + CH_VAL[2] + CH_VAL[3]
+            ),
+            filter_col=AR_PLAIN,
+        )
+        swapped = CtlSpec(
+            columns=tuple(
+                [self._opid_lc(_ARITH_SWAP)] + CH_VAL[2] + CH_VAL[1] + CH_VAL[3]
+            ),
+            filter_col=AR_SWAP,
+        )
+        eq = CtlSpec(
+            columns=tuple(
+                [LC(terms=(), const=ar.OP_SUB)] + CH_VAL[1] + CH_VAL[2] + CH_VAL[4]
+            ),
+            filter_col=SEL[EQ],
+        )
+        return [plain, swapped, eq]
+
+    def logic_ctl_specs(self) -> List[CtlSpec]:
+        plain = CtlSpec(
+            columns=tuple(
+                [self._opid_lc(_LOGIC)] + CH_VAL[1] + CH_VAL[2] + CH_VAL[3]
+            ),
+            filter_col=LG_PLAIN,
+        )
+        allones = [LC(terms=(), const=0xFFFF)] * N_LIMBS
+        notspec = CtlSpec(
+            columns=tuple(
+                [LC(terms=(), const=OP_XOR)] + CH_VAL[1] + allones + CH_VAL[2]
+            ),
+            filter_col=SEL[NOT_],
+        )
+        return [plain, notspec]
+
+    def sponge_ctl_specs(self) -> List[CtlSpec]:
+        from .keccak_sponge import OP_KECCAK_DIGEST, OP_SPONGE_INIT
+
+        first = CtlSpec(
+            columns=tuple(
+                [
+                    LC(terms=(), const=OP_SPONGE_INIT),
+                    LC(terms=(), const=EVM_CTX),
+                    HS_SEG,
+                    HS_VIRT,
+                    self._ts(6),
+                ]
+            ),
+            filter_col=SP_FIRST,
+        )
+        digest = CtlSpec(
+            columns=tuple(
+                [
+                    LC(terms=(), const=OP_KECCAK_DIGEST),
+                    LC(terms=(), const=EVM_CTX),
+                    HS_SEG,
+                    H_FVIRT,
+                    H_TS,
+                    H_FLEN,
+                ]
+                + [self._r_limb(j) for j in range(N_LIMBS)]
+            ),
+            filter_col=SP_FINAL,
+        )
+        return [first, digest]
+
+    uses_sponge = True
+
+    # -- constraints --------------------------------------------------------------
+
+    def eval(self, ctx):
+        c, o = ctx.consumer, ctx.ops
+        one, zero = o.one(), o.zero()
+        s = self.shape
+        lay = s.pi_layout
+
+        def L(i):
+            return ctx.local(i)
+
+        def N(i):
+            return ctx.next(i)
+
+        def F(i):
+            return ctx.fixed(i)
+
+        def FN(i):
+            return ctx.fixed_next(i)
+
+        def const(v):
+            return o.constant(v)
+
+        sel = {op: L(SEL[op]) for op in SIMPLE_OPS}
+        fpush, fdup, fswap, flog = L(F_PUSH), L(F_DUP), L(F_SWAP), L(F_LOG)
+        nsel = [L(NSEL[n]) for n in range(33)]
+        kpack, kdig = L(S_KPACK), L(S_KDIG)
+        halted = L(HALTED)
+        pc, sp = L(PC), L(SP)
+        z, zinv, zs = L(Z), L(ZINV), L(ZS)
+        revb = [L(i) for i in REVB]
+
+        f_exec = F(self.F_EXEC)
+        act = o.mul(f_exec, o.sub(one, halted))
+
+        # -- booleans
+        bools = (
+            [HALTED, Z, F_PUSH, F_DUP, F_SWAP, F_LOG, S_KPACK, S_KDIG,
+             SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE, AR_PLAIN, AR_SWAP,
+             LG_PLAIN, IS_JD]
+            + [SEL[op] for op in SIMPLE_OPS]
+            + list(NSEL)
+            + CH_USED
+            + CH_ISREAD
+        )
+        for i in bools:
+            b = L(i)
+            c.constraint(o.mul(b, o.sub(b, one)))
+
+        # -- iszero machinery (global; rows that bind no ZS set Z=1, ZS=0)
+        c.constraint(o.mul(z, zs))
+        c.constraint(o.sub(o.mul(zs, zinv), o.sub(one, z)))
+
+        # -- first row
+        c.constraint_first_row(pc)
+        c.constraint_first_row(sp)
+        c.constraint_first_row(halted)
+
+        # -- opcode selector accounting
+        simple_sum = None
+        for op in SIMPLE_OPS:
+            simple_sum = sel[op] if simple_sum is None else o.add(simple_sum, sel[op])
+        fam_sum = o.add(o.add(fpush, fdup), o.add(fswap, flog))
+        all_sum = o.add(o.add(simple_sum, fam_sum), o.add(kpack, kdig))
+        c.constraint(o.sub(all_sum, act))
+        nsel_sum = None
+        nlin = None
+        for n in range(33):
+            nsel_sum = nsel[n] if nsel_sum is None else o.add(nsel_sum, nsel[n])
+            t = o.mul(const(n), nsel[n])
+            nlin = t if nlin is None else o.add(nlin, t)
+        c.constraint(o.sub(nsel_sum, fam_sum))
+        # family n ranges: DUP/SWAP 1..16, LOG 0..4
+        c.constraint(o.mul(o.add(fdup, fswap), nsel[0]))
+        for n in range(17, 33):
+            c.constraint(o.mul(o.add(fdup, fswap), nsel[n]))
+        for n in range(5, 33):
+            c.constraint(o.mul(flog, nsel[n]))
+
+        # -- fetch channel 0
+        ch0u = L(CH_USED[0])
+        c.constraint(o.sub(ch0u, o.sub(act, o.add(kpack, kdig))))
+        c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
+        c.constraint(o.mul(ch0u, o.sub(L(CH_SEG[0]), const(SEG_CODE))))
+        c.constraint(o.mul(ch0u, o.sub(L(CH_VIRT[0]), pc)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(ch0u, L(CH_VAL[0][k])))
+        # decode: selected opcode value == fetched byte
+        dec = None
+        for op in SIMPLE_OPS:
+            t = o.mul(const(op), sel[op])
+            dec = t if dec is None else o.add(dec, t)
+        dec = o.add(dec, o.mul(fpush, o.add(const(PUSH0), nlin)))
+        dec = o.add(dec, o.mul(fdup, o.add(const(DUP1 - 1), nlin)))
+        dec = o.add(dec, o.mul(fswap, o.add(const(SWAP1 - 1), nlin)))
+        dec = o.add(dec, o.mul(flog, o.add(const(LOG0), nlin)))
+        c.constraint(o.sub(dec, o.mul(ch0u, L(CH_VAL[0][0]))))
+
+        # -- channel usage accounting (ch1..ch4)
+        ch1_users = [
+            F(self.F_SVINIT), F(self.F_REPACK), F(self.F_SCAN),
+            F(self.F_FINAL), fpush, fdup, fswap, kpack, kdig,
+        ] + [
+            sel[op]
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+                       ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLER,
+                       CALLVALUE, CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
+                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI)
+        ]
+        ch2_users = [
+            F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap,
+        ] + [
+            sel[op]
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+                       ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
+                       MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI)
+        ]
+        ch3_users = [fswap] + [
+            sel[op]
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+                       AND_, OR_, XOR_, SLOAD, SSTORE)
+        ]
+        ch4_users = [fswap, sel[SLOAD], sel[SSTORE]]
+
+        def acc(users, extra=None):
+            tot = None
+            for u in users:
+                tot = u if tot is None else o.add(tot, u)
+            if extra is not None:
+                tot = o.add(tot, extra)
+            return tot
+
+        jumpi_taken = o.mul(sel[JUMPI], o.sub(one, z))
+        c.constraint(o.sub(L(CH_USED[1]), acc(ch1_users)))
+        c.constraint(o.sub(L(CH_USED[2]), acc(ch2_users)))
+        c.constraint(o.sub(L(CH_USED[3]), acc(ch3_users, jumpi_taken)))
+        c.constraint(o.sub(L(CH_USED[4]), acc(ch4_users)))
+
+        # -- generic channel binding helper
+        def bind(gate, ch, is_read, seg_expr, virt_expr):
+            c.constraint(o.mul(gate, o.sub(L(CH_ISREAD[ch]), const(is_read))))
+            c.constraint(o.mul(gate, o.sub(L(CH_SEG[ch]), seg_expr)))
+            c.constraint(o.mul(gate, o.sub(L(CH_VIRT[ch]), virt_expr)))
+
+        def bind_byte(gate, ch, byte_expr):
+            c.constraint(o.mul(gate, o.sub(L(CH_VAL[ch][0]), byte_expr)))
+            for k in range(1, N_LIMBS):
+                c.constraint(o.mul(gate, L(CH_VAL[ch][k])))
+
+        def bind_word_eq(gate, ch_a, ch_b):
+            for k in range(N_LIMBS):
+                c.constraint(
+                    o.mul(gate, o.sub(L(CH_VAL[ch_a][k]), L(CH_VAL[ch_b][k])))
+                )
+
+        def bind_word_pi(gate, ch, pi_word):
+            for k in range(N_LIMBS):
+                c.constraint(
+                    o.mul(
+                        gate,
+                        o.sub(L(CH_VAL[ch][k]), ctx.public_input(16 * pi_word + k)),
+                    )
+                )
+
+        def v_limb(j):
+            return o.add(revb[31 - 2 * j], o.mul(const(256), revb[30 - 2 * j]))
+
+        def r_limb(j):
+            return o.add(revb[2 * j], o.mul(const(256), revb[2 * j + 1]))
+
+        def bind_word_v(gate, ch):
+            for k in range(N_LIMBS):
+                c.constraint(o.mul(gate, o.sub(L(CH_VAL[ch][k]), v_limb(k))))
+
+        spm = lambda k: o.sub(sp, const(k))  # SP - k
+
+        # -- INIT rows: one calldata word per row, REVB = the PI word's
+        # big-endian bytes; the pack CTL writes the first F_PLEN of them
+        f_init = F(self.F_INIT)
+        cd_base = 16 * lay["calldata"]
+        for w in range(s.n_calldata_words):
+            for j in range(N_LIMBS):
+                c.constraint(
+                    o.mul(
+                        F(self.F_CDSEL[w]),
+                        o.sub(v_limb(j), ctx.public_input(cd_base + 16 * w + j)),
+                    )
+                )
+
+        # -- SVINIT rows
+        f_sv = F(self.F_SVINIT)
+        bind(f_sv, 1, 0, const(SEG_SKEYS), F(self.F_A1))
+        bind(f_sv, 2, 0, const(SEG_SVALS), F(self.F_A1))
+        for i in range(s.n_skeys):
+            bind_word_pi(F(self.F_SKSEL[i]), 1, lay["storage"] + 3 * i)
+            bind_word_pi(F(self.F_SKSEL[i]), 2, lay["storage"] + 3 * i + 1)
+
+        # -- REPACK rows: pack CTL writes the code bytes; channel 1 writes
+        # the little-endian staged word to SEG_CODE_PACKED
+        f_rp = F(self.F_REPACK)
+        bind(f_rp, 1, 0, const(SEG_CODE_PACKED), F(self.F_A3))
+        for j in range(N_LIMBS):
+            c.constraint(o.mul(f_rp, o.sub(L(CH_VAL[1][j]), r_limb(j))))
+
+        # -- SCAN rows
+        f_sc = F(self.F_SCAN)
+        bind(f_sc, 1, 1, const(SEG_CODE), F(self.F_A1))
+        bind(f_sc, 2, 0, const(SEG_JUMPDEST), F(self.F_A1))
+        sb = L(CH_VAL[1][0])
+        c.constraint(o.mul(f_sc, o.sub(L(ZS), L(INPUSH))))
+        comb = o.add(
+            sb,
+            o.add(
+                o.mul(const(OPINFO_SHIFT_PL), L(PUSHLEN)),
+                o.mul(const(OPINFO_SHIFT_JD), L(IS_JD)),
+            ),
+        )
+        c.constraint(o.mul(f_sc, o.sub(L(SCAN_COMB), comb)))
+        c.constraint(o.mul(o.sub(one, f_sc), L(SCAN_COMB)))
+        bind_byte(f_sc, 2, o.mul(z, L(IS_JD)))
+        # inside-push counter
+        next_inpush = o.add(
+            o.mul(z, L(PUSHLEN)),
+            o.mul(o.sub(one, z), o.sub(L(INPUSH), one)),
+        )
+        c.constraint_transition(
+            o.mul(F(self.F_SCAN_TRANS), o.sub(N(INPUSH), next_inpush))
+        )
+        c.constraint(o.mul(F(self.F_SCAN_FIRST), L(INPUSH)))
+        c.constraint(o.mul(F(self.F_SCAN_LAST), next_inpush))
+
+        # -- CHASH rows + sponge filters
+        f_chd, f_chg = F(self.F_CHD), F(self.F_CHG)
+        c.constraint(o.sub(L(SP_FIRST), o.add(f_chd, sel[KECCAK256])))
+        c.constraint(o.sub(L(SP_FINAL), o.add(f_chg, kdig)))
+        c.constraint(o.mul(f_chd, o.sub(L(HS_SEG), const(SEG_CODE_PACKED))))
+        c.constraint(o.mul(f_chd, L(HS_VIRT)))
+        decl_ts = LCts = o.add(
+            o.mul(const(TS_SLOTS), F(self.F_ROW)), const(6)
+        )
+        c.constraint(o.mul(L(SP_FIRST), o.sub(L(H_TS), decl_ts)))
+        # code-hash digest row: final-block virt/len are static
+        L_cp = s.code_padded_len
+        nb = L_cp // 136 + 1
+        c.constraint(o.mul(f_chg, o.sub(L(H_FVIRT), const(5 * (nb - 1)))))
+        c.constraint(
+            o.mul(f_chg, o.sub(L(H_FLEN), const(L_cp - 136 * (nb - 1))))
+        )
+        # digest == CODEHASH public input (LE word limbs are the R-limbs)
+        ch_base = 16 * lay["codehash"]
+        for j in range(N_LIMBS):
+            c.constraint(
+                o.mul(f_chg, o.sub(r_limb(j), ctx.public_input(ch_base + j)))
+            )
+
+        # carries into sponge-consuming rows (kpack/kdig/chash-digest)
+        carry_gate = o.add(o.add(N(S_KPACK), N(S_KDIG)), FN(self.F_CHG))
+        c.constraint_transition(o.mul(carry_gate, o.sub(N(H_TS), L(H_TS))))
+        c.constraint_transition(o.mul(carry_gate, o.sub(N(HS_SEG), L(HS_SEG))))
+        c.constraint_transition(
+            o.mul(N(S_KPACK), o.sub(N(R0), o.add(L(R0), o.mul(const(32), kpack))))
+        )
+        kk = o.add(N(S_KPACK), N(S_KDIG))
+        c.constraint_transition(o.mul(kk, o.sub(N(R1), o.add(L(R1), kpack))))
+        c.constraint_transition(
+            o.mul(kk, o.sub(o.add(N(R2), o.mul(const(32), kpack)), L(R2)))
+        )
+        # digest-row final-block virt/len: one block, base = HP before KDIG
+        c.constraint_transition(o.mul(N(S_KDIG), o.sub(N(H_FVIRT), L(HP))))
+        c.constraint_transition(
+            o.mul(
+                N(S_KDIG),
+                o.sub(N(H_FLEN), o.mul(const(32), o.sub(N(R1), L(HP)))),
+            )
+        )
+        c.constraint(o.mul(kdig, L(R2)))  # repack loop ran to completion
+        # phase integrity
+        c.constraint_transition(
+            o.mul(N(S_KPACK), o.sub(o.add(kpack, sel[KECCAK256]), one))
+        )
+        c.constraint_transition(o.mul(N(S_KDIG), o.sub(kpack, one)))
+        c.constraint_transition(
+            o.mul(kpack, o.sub(o.add(N(S_KPACK), N(S_KDIG)), one))
+        )
+        c.constraint_transition(o.mul(sel[KECCAK256], o.sub(N(S_KPACK), one)))
+        # HP: constant except entering KDIG (a block reserves 5 word slots)
+        c.constraint_transition(
+            o.mul(o.sub(one, N(S_KDIG)), o.sub(N(HP), L(HP)))
+        )
+        c.constraint_transition(
+            o.mul(N(S_KDIG), o.sub(N(HP), o.add(L(HP), const(5))))
+        )
+
+        # -- KECCAK256 setup
+        skec = sel[KECCAK256]
+        bind(skec, 1, 1, const(SEG_STACK), spm(1))  # pop offset
+        bind(skec, 2, 1, const(SEG_STACK), spm(2))  # pop length
+        ofs32 = o.add(L(CH_VAL[1][0]), o.mul(const(1 << 16), L(CH_VAL[1][1])))
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(skec, L(CH_VAL[1][k])))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(skec, L(CH_VAL[2][k])))
+        c.constraint(o.mul(skec, o.sub(L(R0), ofs32)))
+        c.constraint(o.mul(skec, o.sub(L(R2), L(CH_VAL[2][0]))))
+        c.constraint(o.mul(skec, o.sub(L(R1), L(HP))))
+        c.constraint(o.mul(skec, o.sub(L(HS_SEG), const(SEG_HASH))))
+        c.constraint(o.mul(skec, o.sub(L(HS_VIRT), L(HP))))
+
+        # -- KPACK micro-rows: pack CTL reads 32 message bytes; channel 1
+        # writes the little-endian staged word to SEG_HASH
+        bind(kpack, 1, 0, const(SEG_HASH), L(R1))
+        for j in range(N_LIMBS):
+            c.constraint(o.mul(kpack, o.sub(L(CH_VAL[1][j]), r_limb(j))))
+
+        # -- KDIG: push the big-endian digest
+        bind(kdig, 1, 0, const(SEG_STACK), sp)
+        bind_word_v(kdig, 1)
+
+        # -- binary arithmetic/logic ops (pop 2, push 1)
+        bin_sels = [sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL,
+                                       SHR, BYTE_, EQ, AND_, OR_, XOR_)]
+        bin_gate = acc(bin_sels)
+        bind(bin_gate, 1, 1, const(SEG_STACK), spm(1))
+        bind(bin_gate, 2, 1, const(SEG_STACK), spm(2))
+        bind(bin_gate, 3, 0, const(SEG_STACK), spm(2))
+        # CTL filter columns
+        c.constraint(
+            o.sub(
+                L(AR_PLAIN),
+                acc([sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT)]),
+            )
+        )
+        c.constraint(
+            o.sub(L(AR_SWAP), acc([sel[op] for op in (GT, SHL, SHR, BYTE_)]))
+        )
+        c.constraint(
+            o.sub(L(LG_PLAIN), acc([sel[op] for op in (AND_, OR_, XOR_)]))
+        )
+        # EQ: scratch d in ch4 (no memory op), pushed value is Z
+        seq = sel[EQ]
+        zsum4 = None
+        for k in range(N_LIMBS):
+            zsum4 = L(CH_VAL[4][k]) if zsum4 is None else o.add(zsum4, L(CH_VAL[4][k]))
+        c.constraint(o.mul(seq, o.sub(zs, zsum4)))
+        bind_byte(seq, 3, z)
+
+        # -- ISZERO / NOT (pop 1, push 1 in place)
+        siz = sel[ISZERO]
+        bind(siz, 1, 1, const(SEG_STACK), spm(1))
+        bind(siz, 2, 0, const(SEG_STACK), spm(1))
+        zsum1 = None
+        for k in range(N_LIMBS):
+            zsum1 = L(CH_VAL[1][k]) if zsum1 is None else o.add(zsum1, L(CH_VAL[1][k]))
+        c.constraint(o.mul(siz, o.sub(zs, zsum1)))
+        bind_byte(siz, 2, z)
+        snot = sel[NOT_]
+        bind(snot, 1, 1, const(SEG_STACK), spm(1))
+        bind(snot, 2, 0, const(SEG_STACK), spm(1))
+
+        # -- PUSH / DUP / SWAP
+        bind(fpush, 1, 0, const(SEG_STACK), sp)
+        for j in range(N_LIMBS):
+            compj = None
+            for n in range(1, 33):
+                hi_i, lo_i = n - 2 - 2 * j, n - 1 - 2 * j
+                if lo_i < 0:
+                    continue
+                e = revb[lo_i]
+                if hi_i >= 0:
+                    e = o.add(e, o.mul(const(256), revb[hi_i]))
+                t = o.mul(nsel[n], e)
+                compj = t if compj is None else o.add(compj, t)
+            compj = compj if compj is not None else zero
+            c.constraint(o.mul(fpush, o.sub(L(CH_VAL[1][j]), compj)))
+        bind(fdup, 1, 1, const(SEG_STACK), o.sub(sp, nlin))
+        bind(fdup, 2, 0, const(SEG_STACK), sp)
+        bind_word_eq(fdup, 2, 1)
+        bind(fswap, 1, 1, const(SEG_STACK), spm(1))
+        bind(fswap, 2, 1, const(SEG_STACK), o.sub(spm(1), nlin))
+        bind(fswap, 3, 0, const(SEG_STACK), spm(1))
+        bind(fswap, 4, 0, const(SEG_STACK), o.sub(spm(1), nlin))
+        bind_word_eq(fswap, 3, 2)
+        bind_word_eq(fswap, 4, 1)
+
+        # -- environment pushes
+        for op, word in ((CALLER, 0), (CALLVALUE, 1)):
+            g = sel[op]
+            bind(g, 1, 0, const(SEG_STACK), sp)
+            bind_word_pi(g, 1, word)
+        g = sel[CALLDATASIZE]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        bind_byte(g, 1, const(s.calldata_len))
+        g = sel[PC_OP]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        bind_byte(g, 1, pc)
+
+        # -- CALLDATALOAD / MLOAD / MSTORE (bytepacking window ops)
+        scdl, sml, sms = sel[CALLDATALOAD], sel[MLOAD], sel[MSTORE]
+        window_pop = acc([scdl, sml, sms])
+        bind(window_pop, 1, 1, const(SEG_STACK), spm(1))  # pop offset
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(window_pop, L(CH_VAL[1][k])))
+        push_back = o.add(scdl, sml)
+        bind(push_back, 2, 0, const(SEG_STACK), spm(1))
+        bind_word_v(push_back, 2)
+        bind(sms, 2, 1, const(SEG_STACK), spm(2))  # pop value
+        bind_word_v(sms, 2)
+        # pack request fields
+        push_packs = o.mul(fpush, o.sub(one, nsel[0]))
+        pre_packs = o.add(f_init, f_rp)
+        c.constraint(
+            o.sub(
+                L(IS_PACK),
+                o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
+            )
+        )
+        c.constraint(o.sub(L(PACK_WRITE), o.add(sms, pre_packs)))
+        seg_expr = o.add(
+            o.add(
+                o.mul(push_packs, const(SEG_CODE)),
+                o.mul(f_init, const(SEG_CALLDATA)),
+            ),
+            o.add(
+                o.add(
+                    o.mul(scdl, const(SEG_CALLDATA)),
+                    o.mul(f_rp, const(SEG_CODE)),
+                ),
+                o.mul(o.add(o.add(sml, sms), kpack), const(SEG_MAIN)),
+            ),
+        )
+        c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_SEG)), seg_expr))
+        virt_expr = o.add(
+            o.add(
+                o.mul(push_packs, o.add(pc, one)),
+                o.mul(window_pop, ofs32),
+            ),
+            o.add(o.mul(kpack, L(R0)), o.mul(pre_packs, F(self.F_A1))),
+        )
+        c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_VIRT)), virt_expr))
+        len_expr = o.add(
+            o.mul(
+                o.add(o.add(push_packs, window_pop), kpack), const(32)
+            ),
+            o.mul(pre_packs, F(self.F_PLEN)),
+        )
+        c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_LEN)), len_expr))
+
+        # -- SLOAD / SSTORE
+        ssl, sss = sel[SLOAD], sel[SSTORE]
+        bind(ssl, 1, 1, const(SEG_STACK), spm(1))  # pop key
+        bind(ssl, 2, 1, const(SEG_SKEYS), L(SIDX))
+        bind(ssl, 3, 1, const(SEG_SVALS), L(SIDX))
+        bind(ssl, 4, 0, const(SEG_STACK), spm(1))  # push value
+        bind_word_eq(ssl, 2, 1)
+        bind_word_eq(ssl, 4, 3)
+        bind(sss, 1, 1, const(SEG_STACK), spm(1))  # pop key
+        bind(sss, 2, 1, const(SEG_STACK), spm(2))  # pop value
+        bind(sss, 3, 1, const(SEG_SKEYS), L(SIDX))
+        bind(sss, 4, 0, const(SEG_SVALS), L(SIDX))
+        bind_word_eq(sss, 3, 1)
+        bind_word_eq(sss, 4, 2)
+        # directory cell must be nonzero (points at a PI-bound key)
+        for g, ch in ((ssl, 2), (sss, 3)):
+            ks = None
+            for k in range(N_LIMBS):
+                ks = L(CH_VAL[ch][k]) if ks is None else o.add(ks, L(CH_VAL[ch][k]))
+            c.constraint(o.mul(g, o.sub(o.mul(ks, L(KINV)), one)))
+
+        # -- JUMP / JUMPI
+        sj, sji = sel[JUMP], sel[JUMPI]
+        bind(sj, 1, 1, const(SEG_STACK), spm(1))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(sj, L(CH_VAL[1][k])))
+        bind(sj, 2, 1, const(SEG_JUMPDEST), L(CH_VAL[1][0]))
+        c.constraint(o.mul(sj, o.sub(L(CH_VAL[2][0]), one)))
+        bind(sji, 1, 1, const(SEG_STACK), spm(1))
+        bind(sji, 2, 1, const(SEG_STACK), spm(2))
+        zsum2 = None
+        for k in range(N_LIMBS):
+            zsum2 = L(CH_VAL[2][k]) if zsum2 is None else o.add(zsum2, L(CH_VAL[2][k]))
+        c.constraint(o.mul(sji, o.sub(zs, zsum2)))
+        bind(jumpi_taken, 3, 1, const(SEG_JUMPDEST), L(CH_VAL[1][0]))
+        c.constraint(o.mul(jumpi_taken, o.sub(L(CH_VAL[3][0]), one)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(jumpi_taken, L(CH_VAL[1][k])))
+
+        # -- halting + success
+        halt_fired = acc([sel[STOP], sel[RETURN], sel[REVERT]])
+        c.constraint_transition(o.sub(N(HALTED), o.add(halted, halt_fired)))
+        pi_success = ctx.public_input(16 * lay["success"])
+        c.constraint(
+            o.mul(o.add(sel[STOP], sel[RETURN]), o.sub(pi_success, one))
+        )
+        c.constraint(o.mul(sel[REVERT], pi_success))
+
+        # -- FINAL rows
+        f_fin = F(self.F_FINAL)
+        c.constraint(o.mul(f_fin, o.sub(one, halted)))
+        bind(f_fin, 1, 1, const(SEG_SVALS), F(self.F_A1))
+        for i in range(s.n_skeys):
+            bind_word_pi(F(self.F_SVPOSTSEL[i]), 1, lay["storage"] + 3 * i + 2)
+
+        # -- PC / SP transitions
+        pc_adv = None
+        for op in SIMPLE_OPS:
+            a = _PC_ADV[op]
+            if a:
+                t = o.mul(const(a), sel[op])
+                pc_adv = t if pc_adv is None else o.add(pc_adv, t)
+        pc_adv = o.add(pc_adv, o.mul(fpush, o.add(one, nlin)))
+        pc_adv = o.add(pc_adv, o.add(fdup, o.add(fswap, flog)))
+        pc_adv = o.add(pc_adv, kdig)
+        pc_adv = o.add(pc_adv, o.mul(sj, o.sub(L(CH_VAL[1][0]), pc)))
+        pc_adv = o.add(
+            pc_adv,
+            o.mul(jumpi_taken, o.sub(o.sub(L(CH_VAL[1][0]), pc), one)),
+        )
+        c.constraint_transition(o.sub(N(PC), o.add(pc, pc_adv)))
+        sp_d = None
+        for op in SIMPLE_OPS:
+            d = _SP_DELTA[op]
+            if d:
+                t = o.mul(const(d % ar.fh.P), sel[op])
+                sp_d = t if sp_d is None else o.add(sp_d, t)
+        sp_d = o.add(sp_d, o.add(fpush, fdup))
+        sp_d = o.add(sp_d, kdig)
+        log_drop = o.mul(flog, o.add(const(2), nlin))
+        sp_d = o.sub(sp_d, log_drop)
+        c.constraint_transition(o.sub(N(SP), o.add(sp, sp_d)))
