@@ -1,0 +1,291 @@
+"""Contract-call transactions: the EVM machine as the tx kernel.
+
+Reference equivalent: evm_arithmetization's kernel executing an
+arbitrary message call — `generate_txn_proof` on a witness whose tx
+targets a contract (/root/reference/ops/src/lib.rs:52; SURVEY.md §2b
+evm_arithmetization row). Here the call frame runs on the EVM machine
+STARK (tables/evm.py): the machine proves the execution itself —
+fetch/decode/execute over code bound to the account's code_hash,
+storage reads/writes journaled against public inputs — while this
+module supplies the transaction plumbing:
+
+  - decode the signed tx, recover the sender, pull the callee's code
+    from `contract_code` by the account's code_hash;
+  - DISCOVER the touched storage slots by re-running the machine's
+    host interpreter, growing `storage_pre` on UnknownStorageKey
+    (values read from the callee's witness storage trie);
+  - prove the 7-table machine proof;
+  - host-side trie binding (documented fallback, like the transfer
+    kernel's pre-binding era): re-derive the post state root from the
+    witness tries + the machine's public journal (sender nonce/balance,
+    miner fee, callee balance + storage-root update) and compare to
+    `trie_roots_after.state_root`.
+
+Envelope (Unsupported otherwise): legacy txs, direct calls to an
+existing contract (no creation, no inner CALLs — the machine is
+single-context), successful or reverting frames (a reverted frame
+leaves storage untouched), machine opcode/keccak envelope per
+tables/evm.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from ..fri.config import StarkConfig
+from ..hash.keccak import keccak256
+from ..stark.multi import MultiProof
+from ..tables import all as A
+from ..tables import evm as E
+from ..trie.nibbles import Nibbles
+from ..witness.mpt import decode_account, encode_account
+from ..witness.types import GenerationInputs
+from .kasm import le_word
+from .transfer import _acct_key, _empty_account
+from .tx import decode_legacy_tx
+
+EMPTY_CODE_HASH = keccak256(b"")
+
+
+def _slot_key(slot: int) -> Nibbles:
+    return Nibbles.from_bytes(keccak256(slot.to_bytes(32, "big")))
+
+
+def _storage_trie(gi: GenerationInputs, hashed_addr: bytes):
+    for h, trie in gi.tries.storage_tries:
+        if h == hashed_addr:
+            return trie
+    return None
+
+
+def _decode_slot_value(raw: Optional[bytes]) -> int:
+    if raw is None:
+        return 0
+    # storage values are RLP(minimal big-endian int), <= 32 bytes
+    if len(raw) == 1 and raw[0] < 0x80:
+        return raw[0]
+    assert raw and 0x80 <= raw[0] < 0xB8, "storage slot RLP must be a short string"
+    return int.from_bytes(raw[1: 1 + raw[0] - 0x80], "big")
+
+
+def _encode_slot_value(v: int) -> bytes:
+    if v == 0:
+        return b"\x80"
+    b = v.to_bytes((v.bit_length() + 7) // 8, "big")
+    if len(b) == 1 and b[0] < 0x80:
+        return b
+    return bytes([0x80 + len(b)]) + b
+
+
+@dataclass
+class ContractCallProof:
+    """Per-tx proof for a contract call: the machine multi-proof plus
+    the witness-binding data the (host) verifier re-derives."""
+
+    multi: Optional[MultiProof]
+    shape: E.EvmShape
+    machine_pi: List[int]
+    gen_inputs: GenerationInputs
+    sender: bytes
+    to: bytes
+    miner: bytes
+    gas_used: int
+
+
+def machine_inputs_for_tx(
+    gi: GenerationInputs, log_rows: int = 10
+) -> Tuple[E.EvmShape, E.EvmInputs, "E.EvmResult"]:
+    """Decode the tx, discover touched slots, run the machine host
+    interpreter. -> (shape, inputs, result)."""
+    tx = decode_legacy_tx(gi.signed_txn)
+    assert len(tx.to) == 20, "contract creation unsupported"
+    sender = tx.sender()
+    acct_raw = gi.tries.state_trie.get(_acct_key(tx.to))
+    assert acct_raw is not None, "callee account missing from witness"
+    acct = decode_account(acct_raw)
+    if acct["code_hash"] == EMPTY_CODE_HASH:
+        raise E.Unsupported("callee has no code (plain transfer)")
+    code = gi.contract_code.get(acct["code_hash"])
+    assert code is not None, "callee code missing from contract_code"
+    hashed_addr = keccak256(tx.to)
+    strie = _storage_trie(gi, hashed_addr)
+
+    def slot_pre(slot: int) -> int:
+        if strie is None:
+            return 0
+        return _decode_slot_value(strie.get(_slot_key(slot)))
+
+    storage_pre: Dict[int, int] = {}
+    caller = int.from_bytes(sender, "big")
+    while True:
+        shape = E.EvmShape(
+            code_len=len(code),
+            calldata_len=len(tx.data),
+            n_skeys=len(storage_pre),
+            log_rows=log_rows,
+        )
+        inputs = E.EvmInputs(
+            code=code,
+            calldata=tx.data,
+            caller=caller,
+            callvalue=tx.value,
+            storage_pre=dict(storage_pre),
+        )
+        try:
+            res = E.execute_evm(shape, inputs)
+            return shape, inputs, res
+        except E.UnknownStorageKey as miss:
+            storage_pre[miss.key] = slot_pre(miss.key)
+
+
+def prove_contract_call(
+    gi: GenerationInputs,
+    config: StarkConfig,
+    sizes: Optional[A.TableSizes] = None,
+    log_rows: int = 10,
+) -> ContractCallProof:
+    shape, inputs, res = machine_inputs_for_tx(gi, log_rows)
+    tx = decode_legacy_tx(gi.signed_txn)
+    sender = tx.sender()
+    miner = gi.block_metadata.block_beneficiary
+    gas_used = gi.gas_used_after - gi.gas_used_before
+    if sizes is None:
+        counts = A.evm_table_counts(shape, res)
+        sizes = A.TableSizes(
+            cpu=shape.log_rows,
+            arithmetic=16,
+            logic=max(counts["logic"] - 1, 1).bit_length(),
+            bytepacking=max(9, (counts["bytepacking"] - 1).bit_length()),
+            memory=max(13, (counts["memory"] - 1).bit_length()),
+            keccak=max(5, (counts["keccak"] - 1).bit_length()),
+            keccak_sponge=max(8, (counts["keccak_sponge"] - 1).bit_length()),
+        )
+    machine = E.EvmStark(shape)
+    proof = A.prove_evm_tables(machine, res, sizes, config)
+    ccp = ContractCallProof(
+        multi=proof,
+        shape=shape,
+        machine_pi=list(res.pi_words),
+        gen_inputs=gi,
+        sender=sender,
+        to=tx.to,
+        miner=miner,
+        gas_used=gas_used,
+    )
+    assert check_contract_binding(ccp), "witness binding failed"
+    return ccp
+
+
+def expected_machine_pi(
+    gi: GenerationInputs, shape: E.EvmShape
+) -> Tuple[List[int], bytes, bytes]:
+    """Re-derive the machine's public-input words from the witness alone
+    (the verifier-side counterpart of execute_evm's pi_words): caller,
+    callvalue, calldata words, codehash — and storage keys/pre-values
+    checked against the callee's storage trie. Post-values and success
+    are read from the proof's PI and validated by the trie binding."""
+    tx = decode_legacy_tx(gi.signed_txn)
+    sender = tx.sender()
+    acct = decode_account(gi.tries.state_trie.get(_acct_key(tx.to)))
+    code = gi.contract_code[acct["code_hash"]]
+    assert len(code) == shape.code_len and len(tx.data) == shape.calldata_len
+    cd_words = [
+        int.from_bytes(tx.data[32 * w: 32 * w + 32].ljust(32, b"\0"), "big")
+        for w in range(shape.n_calldata_words)
+    ]
+    code_padded = code + b"\0" * (len(code) % 2)
+    pi = [int.from_bytes(sender, "big"), tx.value] + cd_words
+    pi.append(le_word(keccak256(code_padded)))
+    return pi, sender, tx.to
+
+
+def check_contract_binding(proof: ContractCallProof) -> bool:
+    """Host-side witness binding: machine PI consistent with the witness
+    and the post state root reachable from (tries, machine journal).
+
+    In-circuit status: execution/storage-journal/code-hash are proved by
+    the machine STARK; the TRIE binding below (account paths, storage
+    trie rebuild) is host-side — the same documented fallback tier as
+    check_trie_binding for transfers (evm/binding.py is the in-circuit
+    upgrade path)."""
+    gi = proof.gen_inputs
+    shape = proof.shape
+    lay = shape.pi_layout
+    pi = proof.machine_pi
+    try:
+        head, sender, to = expected_machine_pi(gi, shape)
+    except Exception:
+        return False
+    if pi[: len(head)] != head or sender != proof.sender or to != proof.to:
+        return False
+    # storage keys strictly increasing + pre-values match the trie
+    hashed_addr = keccak256(to)
+    strie = _storage_trie(gi, hashed_addr)
+    keys = []
+    for i in range(shape.n_skeys):
+        k = pi[lay["storage"] + 3 * i]
+        vpre = pi[lay["storage"] + 3 * i + 1]
+        keys.append(k)
+        expect = (
+            _decode_slot_value(strie.get(_slot_key(k))) if strie is not None else 0
+        )
+        if vpre != expect:
+            return False
+    if any(b <= a for a, b in zip(keys, keys[1:])):
+        return False
+    success = pi[lay["success"]]
+    # rebuild the post state root
+    state = gi.tries.state_trie.copy()
+    if gi.txn_number_before == 0 and state.hash() != gi.checkpoint_state_trie_root:
+        return False
+    tx = decode_legacy_tx(gi.signed_txn)
+    fee = tx.gas_price * proof.gas_used
+    s_acc = decode_account(state.get(_acct_key(sender)))
+    if tx.nonce != s_acc["nonce"]:
+        return False
+    value = tx.value if success else 0  # reverted frames keep their value
+    # sequential updates: sender, callee, miner (may overlap)
+    def get_acct(addr):
+        raw = state.get(_acct_key(addr))
+        return decode_account(raw) if raw is not None else _empty_account()
+
+    def put_acct(addr, acc):
+        state.insert(_acct_key(addr), encode_account(acc))
+
+    s_acc["nonce"] += 1
+    if s_acc["balance"] < value + fee:
+        return False
+    s_acc["balance"] -= value + fee
+    put_acct(sender, s_acc)
+    c_acc = get_acct(to)
+    c_acc["balance"] += value
+    if success and shape.n_skeys:
+        st = (strie.copy() if strie is not None else None)
+        if st is None:
+            from ..trie.trie import PartialTrie
+
+            st = PartialTrie()
+        for i in range(shape.n_skeys):
+            k = pi[lay["storage"] + 3 * i]
+            vpost = pi[lay["storage"] + 3 * i + 2]
+            if vpost == 0:
+                st.delete(_slot_key(k))
+            else:
+                st.insert(_slot_key(k), _encode_slot_value(vpost))
+        c_acc["storage_root"] = st.hash()
+    put_acct(to, c_acc)
+    m_acc = get_acct(proof.miner)
+    m_acc["balance"] += fee
+    put_acct(proof.miner, m_acc)
+    return state.hash() == gi.trie_roots_after.state_root
+
+
+def verify_contract_call(proof: ContractCallProof, config: StarkConfig) -> bool:
+    """Full verification: machine STARK + witness binding."""
+    if proof.multi is None:
+        return False
+    machine = E.EvmStark(proof.shape)
+    if not A.verify_evm_tables(machine, proof.machine_pi, proof.multi, config):
+        return False
+    return check_contract_binding(proof)

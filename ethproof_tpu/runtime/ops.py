@@ -113,6 +113,24 @@ def public_data(p: AggregatableProof) -> Tuple[int, int, int, int, bytes, bytes]
 # -- operations (reference ops/src/lib.rs:29-101) ----------------------------
 
 
+def _callee_has_code(gi: GenerationInputs) -> bool:
+    """Dispatch: a tx to an account with code runs on the EVM machine
+    (evm/contract.py); otherwise it is a value transfer."""
+    from ..evm.contract import EMPTY_CODE_HASH
+    from ..evm.transfer import _acct_key
+    from ..evm.tx import decode_legacy_tx
+    from ..witness.mpt import decode_account
+
+    try:
+        tx = decode_legacy_tx(gi.signed_txn)
+        if len(tx.to) != 20:
+            return False
+        raw = gi.tries.state_trie.get(_acct_key(tx.to))
+        return raw is not None and decode_account(raw)["code_hash"] != EMPTY_CODE_HASH
+    except Exception:
+        return False
+
+
 def tx_proof(
     gi: GenerationInputs,
     config: StarkConfig,
@@ -126,6 +144,18 @@ def tx_proof(
         if gi.signed_txn is None:
             return DummyProof(gen_inputs=gi)
         try:
+            if _callee_has_code(gi):
+                # contract call: the EVM machine is the kernel
+                from ..evm.contract import prove_contract_call
+
+                if recursion is not None:
+                    raise FatalError(
+                        f"contract-call tx {label}: recursion ladder does "
+                        "not yet cover machine proofs — prove without "
+                        "--succinct"
+                    )
+                tsz = sizes if isinstance(sizes, TableSizes) else None
+                return prove_contract_call(gi, config, sizes=tsz)
             # under recursion the kernel program must match the cached
             # root circuits, so the binding mode follows the state
             binding = recursion.binding_shape if recursion is not None else "auto"
@@ -236,6 +266,12 @@ def verify_aggregatable(
         ) and verify_aggregatable(p.right, config, skip_stark)
     if isinstance(p, DummyProof):
         return verify_dummy(p)
+    from ..evm.contract import ContractCallProof, check_contract_binding, verify_contract_call
+
+    if isinstance(p, ContractCallProof):
+        return (
+            check_contract_binding(p) if skip_stark else verify_contract_call(p, config)
+        )
     return verify_transfer(p, config, skip_stark=skip_stark)
 
 

@@ -134,6 +134,14 @@ class Unsupported(Exception):
     """Witness outside the machine's documented envelope."""
 
 
+class UnknownStorageKey(Exception):
+    """SLOAD/SSTORE touched a key absent from storage_pre — the caller
+    (evm/contract.py discovery loop) adds the key and re-runs."""
+
+    def __init__(self, key: int):
+        self.key = key
+
+
 # -- shape (fixes the circuit) -------------------------------------------------
 
 
@@ -753,6 +761,8 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             spush(r, 1, int.from_bytes(digest, "big"))
         elif op in (SLOAD, SSTORE):
             key = spop(r, 1)
+            if key not in skeys:
+                raise UnknownStorageKey(key)
             idx = skeys.index(key)
             tr[SIDX, r] = idx
             ksum = sum(_word_limbs(key))

@@ -1,0 +1,175 @@
+"""Contract-call txs end-to-end: witness -> EVM machine -> trie binding.
+
+The ERC-20 transfer as a TRANSACTION (VERDICT r1 'prove a real ERC-20
+transfer witness end-to-end'): a synthetic witness carries the token
+account (code + storage trie) and a signed legacy tx calling
+transfer(address,uint256); the machine proves the execution and the
+binding re-derives the post state root (balance slots moved, sender
+nonce/fee, miner fee).
+"""
+
+import pytest
+
+import sys
+
+sys.path.insert(0, "tests")
+from test_transfer_e2e import CFG, PK, _key
+
+from ethproof_tpu.evm import contract as C
+from ethproof_tpu.evm import erc20
+from ethproof_tpu.evm.tx import private_key_to_address, sign_legacy_tx
+from ethproof_tpu.hash.keccak import keccak256
+from ethproof_tpu.tables import all as A
+from ethproof_tpu.tables import evm as E
+from ethproof_tpu.trie.trie import PartialTrie
+from ethproof_tpu.witness.mpt import encode_account
+from ethproof_tpu.witness.types import (
+    BlockMetadata,
+    GenerationInputs,
+    TrieInputs,
+    TrieRoots,
+)
+
+TOKEN = b"\xee" * 20
+MINER = b"\xcc" * 20
+BOB = b"\xbb" * 20
+
+SIZES = A.TableSizes(
+    cpu=10, arithmetic=16, logic=9, bytepacking=9, memory=14, keccak=7,
+    keccak_sponge=8,
+)
+
+
+def make_erc20_witness(amount=30, sender_tokens=100, bob_tokens=5,
+                       tamper_root=False, gas_price=0, value=0):
+    sender = private_key_to_address(PK)
+    code = erc20.transfer_runtime()
+    slot_s = erc20.balance_slot(int.from_bytes(sender, "big"))
+    slot_b = erc20.balance_slot(int.from_bytes(BOB, "big"))
+
+    def slot_key(slot):
+        return C._slot_key(slot)
+
+    strie = PartialTrie()
+    strie.insert(slot_key(slot_s), C._encode_slot_value(sender_tokens))
+    strie.insert(slot_key(slot_b), C._encode_slot_value(bob_tokens))
+
+    token_acct = {
+        "nonce": 1,
+        "balance": 0,
+        "storage_root": strie.hash(),
+        "code_hash": keccak256(code + b"\0" * (len(code) % 2)),
+    }
+    state = PartialTrie()
+    state.insert(_key(sender), encode_account(
+        {"nonce": 4, "balance": 50, "storage_root": PartialTrie().hash(),
+         "code_hash": keccak256(b"")}))
+    state.insert(_key(TOKEN), encode_account(token_acct))
+    state.insert(_key(MINER), encode_account(
+        {"nonce": 0, "balance": 7, "storage_root": PartialTrie().hash(),
+         "code_hash": keccak256(b"")}))
+
+    calldata = erc20.transfer_calldata(int.from_bytes(BOB, "big"), amount)
+    raw = sign_legacy_tx(4, gas_price, 100000, TOKEN, value, calldata, PK,
+                         chain_id=1)
+    gas_used = 51000
+    fee = gas_price * gas_used
+
+    # expected post state (independent computation)
+    ok = sender_tokens >= amount
+    post_strie = strie.copy()
+    if ok:
+        post_strie.insert(slot_key(slot_s), C._encode_slot_value(sender_tokens - amount))
+        post_strie.insert(slot_key(slot_b), C._encode_slot_value(bob_tokens + amount))
+    post = state.copy()
+    post.insert(_key(sender), encode_account(
+        {"nonce": 5, "balance": 50 - fee - (value if ok else 0),
+         "storage_root": PartialTrie().hash(), "code_hash": keccak256(b"")}))
+    tok_post = dict(token_acct)
+    tok_post["storage_root"] = post_strie.hash()
+    tok_post["balance"] = value if ok else 0
+    post.insert(_key(TOKEN), encode_account(tok_post))
+    post.insert(_key(MINER), encode_account(
+        {"nonce": 0, "balance": 7 + fee, "storage_root": PartialTrie().hash(),
+         "code_hash": keccak256(b"")}))
+    root_after = keccak256(b"wrong") if tamper_root else post.hash()
+
+    return GenerationInputs(
+        txn_number_before=0,
+        gas_used_before=0,
+        gas_used_after=gas_used,
+        signed_txn=raw,
+        tries=TrieInputs(
+            state_trie=state,
+            storage_tries=[(keccak256(TOKEN), strie)],
+        ),
+        trie_roots_after=TrieRoots(state_root=root_after),
+        checkpoint_state_trie_root=state.hash(),
+        block_metadata=BlockMetadata(block_beneficiary=MINER, block_chain_id=1),
+        contract_code={token_acct["code_hash"]: code},
+    )
+
+
+class TestDiscoveryAndBinding:
+    def test_machine_inputs_discovered(self):
+        gi = make_erc20_witness()
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        assert shape.n_skeys == 2
+        assert res.success == 1
+        sender = private_key_to_address(PK)
+        assert res.storage_post[
+            erc20.balance_slot(int.from_bytes(sender, "big"))] == 70
+
+    def test_binding_accepts_honest_witness(self):
+        gi = make_erc20_witness()
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=list(res.pi_words),
+            gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
+            miner=MINER, gas_used=51000,
+        )
+        assert C.check_contract_binding(proof)
+
+    def test_binding_rejects_wrong_root(self):
+        gi = make_erc20_witness(tamper_root=True)
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=list(res.pi_words),
+            gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
+            miner=MINER, gas_used=51000,
+        )
+        assert not C.check_contract_binding(proof)
+
+    def test_binding_rejects_forged_post_balance(self):
+        gi = make_erc20_witness()
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        pi = list(res.pi_words)
+        lay = shape.pi_layout
+        pi[lay["storage"] + 2] += 1  # extra token out of thin air
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=pi, gen_inputs=gi,
+            sender=private_key_to_address(PK), to=TOKEN, miner=MINER,
+            gas_used=51000,
+        )
+        assert not C.check_contract_binding(proof)
+
+    def test_reverted_frame_binds_without_storage_change(self):
+        gi = make_erc20_witness(amount=101, sender_tokens=100)
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        assert res.success == 0
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=list(res.pi_words),
+            gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
+            miner=MINER, gas_used=51000,
+        )
+        assert C.check_contract_binding(proof)
+
+
+class TestContractCallProof:
+    @pytest.mark.slow
+    def test_prove_verify_erc20_tx(self):
+        gi = make_erc20_witness()
+        proof = C.prove_contract_call(gi, CFG, SIZES)
+        assert C.verify_contract_call(proof, CFG)
+        proof.machine_pi[proof.shape.pi_layout["storage"] + 5] += 1
+        assert not C.verify_contract_call(proof, CFG)
