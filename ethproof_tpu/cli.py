@@ -144,7 +144,9 @@ def cmd_verify(args) -> int:
         from .recursion.state import recursion_state
 
         recursion = recursion_state(
-            bp.succinct.sizes, config, binding_shape=bp.succinct.binding_shape
+            bp.succinct.sizes, config,
+            binding_shape=bp.succinct.binding_shape,
+            evm_shapes=bp.succinct.evm_shapes,
         )
     ok = verify_block(bp, config, recursion=recursion)
     print("valid" if ok else "INVALID", file=sys.stderr)

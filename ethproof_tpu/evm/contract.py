@@ -91,6 +91,16 @@ class ContractCallProof:
     to: bytes
     miner: bytes
     gas_used: int
+    is_dummy: bool = False
+    # succinct mode: the root machine proof subsumes `multi`
+    root_proof: Optional[object] = None  # recursion.wrap.MachineProof
+
+    @property
+    def pi_words(self) -> List[int]:
+        """Statement words (tx_statement_digest input) — the machine PI."""
+        return self.machine_pi
+
+DEFAULT_LOG_ROWS = 10
 
 
 def machine_inputs_for_tx(

@@ -69,6 +69,24 @@ def build_tx_root(
     starks = all_starks(cpu, with_keccak)
     ctls = build_ctls(cpu, with_keccak)
     log_ns = sizes.degree_bits(with_keccak)
+    return _build_root(starks, ctls, log_ns, config)
+
+
+def build_evm_root(machine, sizes: TableSizes, config: StarkConfig) -> TxRootCircuit:
+    """Root circuit for the EVM machine's 7-table proofs
+    (tables/evm.py + tables/all.build_ctls_evm): verifies a
+    prove_evm_tables MultiProof and exposes the statement digest over
+    the machine's public inputs (caller/callvalue/calldata/codehash/
+    storage journal/success)."""
+    from ..tables.all import build_ctls_evm
+
+    starks = all_starks(machine, with_keccak=True)
+    ctls = build_ctls_evm(machine)
+    log_ns = [machine.shape.log_rows] + sizes.degree_bits(True)[1:]
+    return _build_root(starks, ctls, log_ns, config)
+
+
+def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
     assert len(log_ns) == len(starks)
     nc = config.num_challenges
 

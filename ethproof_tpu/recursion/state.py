@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 from ..fri.config import StarkConfig
 from ..tables.all import TableSizes
 from .aggregate import AggLadder
-from .root import TxRootCircuit, build_tx_root
+from .root import TxRootCircuit, build_evm_root, build_tx_root
 
 # ordered registry of overlap variants; index == MachineProof.variant
 from ..evm.transfer import (
@@ -51,6 +51,12 @@ class RecursionState:
     overlaps: List[str]
     binding_shape: Optional[object] = None  # evm.binding.KernelShape
     roots: Dict[str, TxRootCircuit] = field(default_factory=dict)
+    # EVM-machine leaf variants: contract-call root circuits keyed by
+    # EvmShape, registered BEFORE the ladder is materialized (the shape
+    # list is part of the block proof's statement — the verifier
+    # rebuilds the same variant set)
+    evm_shapes: List[object] = field(default_factory=list)  # tables/evm.EvmShape
+    evm_roots: Dict[object, TxRootCircuit] = field(default_factory=dict)
     _ladder: Optional[AggLadder] = None
     _root_log_n: Optional[int] = None
 
@@ -73,6 +79,37 @@ class RecursionState:
                 r.log_n = self._root_log_n
         return self.roots[overlap]
 
+    def register_evm(self, shape) -> None:
+        """Register a contract-call leaf variant. Must happen before the
+        ladder is materialized (prove_block pre-scans witnesses); a new
+        shape after that is a deterministic failure — the reference
+        analogue of a trace outside the configured circuit ranges."""
+        if shape in self.evm_roots:
+            return
+        from ..tables.evm import EvmStark
+
+        root = build_evm_root(EvmStark(shape), self.sizes, self.config)
+        if self._root_log_n is not None:
+            assert self._ladder is None or shape in self.evm_roots, (
+                f"evm shape {shape} registered after ladder materialization"
+            )
+            assert root.log_n <= self._root_log_n, (
+                f"evm root needs 2^{root.log_n} > common 2^{self._root_log_n}"
+            )
+            root.log_n = self._root_log_n
+        self.evm_shapes.append(shape)
+        self.evm_roots[shape] = root
+
+    def evm_root(self, shape) -> TxRootCircuit:
+        assert shape in self.evm_roots, (
+            "contract-call shape not registered with the recursion state "
+            "(prove_block pre-scans witnesses and registers shapes)"
+        )
+        return self.evm_roots[shape]
+
+    def variant_of_evm(self, shape) -> int:
+        return len(self.overlaps) + self.evm_shapes.index(shape)
+
     def _materialize_all(self) -> None:
         for o in self.overlaps:
             if o not in self.roots:
@@ -86,8 +123,9 @@ class RecursionState:
     def root_log_n(self) -> int:
         if self._root_log_n is None:
             self._materialize_all()
-            self._root_log_n = max(r.log_n for r in self.roots.values())
-            for r in self.roots.values():
+            all_roots = list(self.roots.values()) + list(self.evm_roots.values())
+            self._root_log_n = max(r.log_n for r in all_roots)
+            for r in all_roots:
                 r.log_n = self._root_log_n
         return self._root_log_n
 
@@ -96,6 +134,7 @@ class RecursionState:
         if self._ladder is None:
             n = self.root_log_n  # materializes + pads all variants
             leaf_starks = [self.roots[o].stark for o in self.overlaps]
+            leaf_starks += [self.evm_roots[s].stark for s in self.evm_shapes]
             self._ladder = AggLadder(leaf_starks, n, self.config)
         return self._ladder
 
@@ -111,19 +150,27 @@ def recursion_state(
     config: StarkConfig,
     overlaps: Optional[List[str]] = None,
     binding_shape: Optional[object] = None,
+    evm_shapes: Optional[List[object]] = None,
 ) -> RecursionState:
     """Process-wide cache keyed by (sizes, config identity, overlap set,
-    binding shape)."""
+    binding shape, evm shapes). The evm shape list is ORDERED — it
+    assigns leaf variant indices, so prover and verifier must pass the
+    same list (it travels in the block proof / task payloads)."""
     overlaps = list(overlaps) if overlaps is not None else list(OVERLAP_VARIANTS)
+    evm_shapes = list(evm_shapes or [])
     key = (
         tuple(sorted(vars(sizes).items())),
         config.num_challenges,
         tuple(sorted(vars(config.fri_config).items())),
         tuple(overlaps),
         binding_shape,
+        tuple(evm_shapes),
     )
     if key not in _STATES:
-        _STATES[key] = RecursionState(
+        st = RecursionState(
             sizes=sizes, config=config, overlaps=overlaps, binding_shape=binding_shape
         )
+        for sh in evm_shapes:
+            st.register_evm(sh)
+        _STATES[key] = st
     return _STATES[key]

@@ -58,6 +58,7 @@ def _op_tx_proof(payload: dict):
         rstate = recursion_state(
             payload["sizes"], payload["config"],
             binding_shape=payload.get("binding_shape"),
+            evm_shapes=payload.get("evm_shapes"),
         )
     return ops.tx_proof(
         payload["gi"], payload["config"], payload["sizes"], recursion=rstate
@@ -77,6 +78,7 @@ def _op_agg_machine(payload: dict):
     rstate = recursion_state(
         payload["sizes"], payload["config"],
         binding_shape=payload.get("binding_shape"),
+        evm_shapes=payload.get("evm_shapes"),
     )
     agg = rstate.ladder.agg(payload["level"])
     return agg.prove(payload["left"], payload["right"], payload["config"])

@@ -75,6 +75,8 @@ class SuccinctBlockProof:
     level: int
     sizes: Optional[TableSizes] = None
     binding_shape: Optional[object] = None  # evm.binding.KernelShape
+    # contract-call leaf variants (ordered; rebuilds the same ladder)
+    evm_shapes: Optional[list] = None
 
 
 @dataclass
@@ -148,14 +150,19 @@ def tx_proof(
                 # contract call: the EVM machine is the kernel
                 from ..evm.contract import prove_contract_call
 
-                if recursion is not None:
-                    raise FatalError(
-                        f"contract-call tx {label}: recursion ladder does "
-                        "not yet cover machine proofs — prove without "
-                        "--succinct"
-                    )
                 tsz = sizes if isinstance(sizes, TableSizes) else None
-                return prove_contract_call(gi, config, sizes=tsz)
+                if recursion is not None:
+                    # the evm root circuit fixes the table sizes
+                    tsz = recursion.sizes
+                proof = prove_contract_call(gi, config, sizes=tsz)
+                if recursion is not None:
+                    with span("p_root", tx=label):
+                        root = recursion.evm_root(proof.shape)
+                        mp = root.prove(proof.multi, config)
+                        mp.variant = recursion.variant_of_evm(proof.shape)
+                        proof.root_proof = mp
+                        proof.multi = None
+                return proof
             # under recursion the kernel program must match the cached
             # root circuits, so the binding mode follows the state
             binding = recursion.binding_shape if recursion is not None else "auto"
@@ -275,11 +282,14 @@ def verify_aggregatable(
     return verify_transfer(p, config, skip_stark=skip_stark)
 
 
-def _real_txs(p: AggregatableProof) -> List[TxProof]:
-    """Order-preserving real-transaction leaves of the agg tree."""
+def _real_txs(p: AggregatableProof) -> List:
+    """Order-preserving real-transaction leaves of the agg tree
+    (transfer TxProofs and ContractCallProofs alike)."""
+    from ..evm.contract import ContractCallProof
+
     if isinstance(p, AggProof):
         return _real_txs(p.left) + _real_txs(p.right)
-    return [p] if isinstance(p, TxProof) else []
+    return [p] if isinstance(p, (TxProof, ContractCallProof)) else []
 
 
 def verify_block(

@@ -108,17 +108,28 @@ def _fit_block_sizes(
         overlap_pattern,
         transfer_kernel_program,
     )
-    from ..tables.all import kernel_counts
+    from ..tables.all import evm_table_counts, kernel_counts
+    from . import ops as _ops
 
     merged: dict = {}
+    with_keccak = False
     for gi in gen_inputs:
         if gi.signed_txn is None:
             continue
-        _, s, r, m = derive_pi_words(gi)
-        counts = kernel_counts(transfer_kernel_program(overlap_pattern(s, r, m)))
+        if _ops._callee_has_code(gi):
+            from ..evm.contract import machine_inputs_for_tx
+
+            shape, _, res = machine_inputs_for_tx(gi)
+            counts = evm_table_counts(shape, res)
+            with_keccak = True
+        else:
+            _, s, r, m = derive_pi_words(gi)
+            counts = kernel_counts(
+                transfer_kernel_program(overlap_pattern(s, r, m))
+            )
         for k, v in counts.items():
             merged[k] = max(merged.get(k, 1), v)
-    return TableSizes.fit(circuit_config, merged)
+    return TableSizes.fit(circuit_config, merged, with_keccak=True)
 
 
 def prove_block(
@@ -145,12 +156,25 @@ def prove_block(
                 sizes = _fit_block_sizes(gen_inputs, sizes)
             elif sizes is None:
                 sizes = TableSizes()
+        # pre-scan: contract-call txs register their machine shapes as
+        # recursion leaf variants (ordered, deduped) BEFORE any proving —
+        # every worker rebuilds the identical variant set from the list
+        evm_shapes: list = []
+        if recursion:
+            from ..evm.contract import machine_inputs_for_tx
+
+            for gi in gen_inputs:
+                if gi.signed_txn is not None and ops._callee_has_code(gi):
+                    shape, _, _ = machine_inputs_for_tx(gi)
+                    if shape not in evm_shapes:
+                        evm_shapes.append(shape)
         # registry tasks, not closures: the same descriptors execute
         # in-process (Runtime) or on the worker fleet (DistributedRuntime)
         leaves = runtime.run_tasks(
             [
                 ("tx_proof", dict(gi=gi, config=config, sizes=sizes,
-                                  recursion=recursion))
+                                  recursion=recursion,
+                                  evm_shapes=evm_shapes or None))
                 for gi in gen_inputs
             ]
         )
@@ -165,15 +189,16 @@ def prove_block(
             if mproofs:
                 with span("p_fold", leaves=len(mproofs)):
                     top, level = _fold_machine_proofs(
-                        runtime, mproofs, sizes, config
+                        runtime, mproofs, sizes, config, evm_shapes
                     )
                 bp.succinct = ops.SuccinctBlockProof(
-                    top=top, level=level, sizes=sizes
+                    top=top, level=level, sizes=sizes,
+                    evm_shapes=evm_shapes or None,
                 )
         return bp
 
 
-def _fold_machine_proofs(runtime, leaves: List, sizes, config):
+def _fold_machine_proofs(runtime, leaves: List, sizes, config, evm_shapes=None):
     """Runtime-parallel balanced fold over the recursion ladder — each
     level's pairwise agg proofs are independent tasks (the reference's
     tree-parallel AggProof fold over workers, SURVEY §2c.2). Pads to a
@@ -189,7 +214,8 @@ def _fold_machine_proofs(runtime, leaves: List, sizes, config):
             [
                 ("agg_machine", dict(level=level, left=proofs[i],
                                      right=proofs[i + 1], sizes=sizes,
-                                     config=config))
+                                     config=config,
+                                     evm_shapes=evm_shapes or None))
                 for i in range(0, len(proofs), 2)
             ]
         )

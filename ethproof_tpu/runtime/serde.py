@@ -192,7 +192,64 @@ def tx_proof_from_json(d: dict) -> TxProof:
     )
 
 
+def contract_proof_to_json(p) -> dict:
+    return {
+        "kind": "contract",
+        "multi": (
+            [stark_proof_to_json(sp) for sp in p.multi.proofs]
+            if p.multi is not None
+            else None
+        ),
+        "root_proof": (
+            machine_proof_to_json(p.root_proof)
+            if p.root_proof is not None
+            else None
+        ),
+        "shape": {
+            "code_len": p.shape.code_len,
+            "calldata_len": p.shape.calldata_len,
+            "n_skeys": p.shape.n_skeys,
+            "log_rows": p.shape.log_rows,
+        },
+        "machine_pi": [str(w) for w in p.machine_pi],
+        "gen_inputs": p.gen_inputs.to_json(),
+        "sender": p.sender.hex(),
+        "to": p.to.hex(),
+        "miner": p.miner.hex(),
+        "gas_used": p.gas_used,
+    }
+
+
+def contract_proof_from_json(d: dict):
+    from ..evm.contract import ContractCallProof
+    from ..stark.multi import MultiProof
+    from ..tables.evm import EvmShape
+
+    multi = None
+    if d.get("multi") is not None:
+        multi = MultiProof(proofs=[stark_proof_from_json(x) for x in d["multi"]])
+    return ContractCallProof(
+        multi=multi,
+        shape=EvmShape(**d["shape"]),
+        machine_pi=[int(w) for w in d["machine_pi"]],
+        gen_inputs=GenerationInputs.from_json(d["gen_inputs"]),
+        sender=bytes.fromhex(d["sender"]),
+        to=bytes.fromhex(d["to"]),
+        miner=bytes.fromhex(d["miner"]),
+        gas_used=int(d["gas_used"]),
+        root_proof=(
+            machine_proof_from_json(d["root_proof"])
+            if d.get("root_proof") is not None
+            else None
+        ),
+    )
+
+
 def aggregatable_to_json(p) -> dict:
+    from ..evm.contract import ContractCallProof
+
+    if isinstance(p, ContractCallProof):
+        return contract_proof_to_json(p)
     if isinstance(p, AggProof):
         return {
             "kind": "agg",
@@ -225,6 +282,8 @@ def aggregatable_from_json(d: dict):
         )
     if kind == "dummy":
         return DummyProof(gen_inputs=GenerationInputs.from_json(d["gen_inputs"]))
+    if kind == "contract":
+        return contract_proof_from_json(d)
     return tx_proof_from_json(d)
 
 
@@ -242,6 +301,15 @@ def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
             "top": machine_proof_to_json(s.top),
             "level": s.level,
             "sizes": vars(s.sizes) if s.sizes is not None else None,
+            "evm_shapes": (
+                [
+                    {"code_len": sh.code_len, "calldata_len": sh.calldata_len,
+                     "n_skeys": sh.n_skeys, "log_rows": sh.log_rows}
+                    for sh in s.evm_shapes
+                ]
+                if s.evm_shapes
+                else None
+            ),
             "binding_shape": (
                 {"levels": s.binding_shape.levels,
                  "node_words": s.binding_shape.node_words}
@@ -267,11 +335,17 @@ def block_proof_from_json(d: dict) -> GeneratedBlockProof:
                 levels=int(s["binding_shape"]["levels"]),
                 node_words=int(s["binding_shape"]["node_words"]),
             )
+        evm_shapes = None
+        if s.get("evm_shapes"):
+            from ..tables.evm import EvmShape
+
+            evm_shapes = [EvmShape(**e) for e in s["evm_shapes"]]
         succinct = SuccinctBlockProof(
             top=machine_proof_from_json(s["top"]),
             level=int(s["level"]),
             sizes=TableSizes(**s["sizes"]) if s.get("sizes") is not None else None,
             binding_shape=shape,
+            evm_shapes=evm_shapes,
         )
     return GeneratedBlockProof(
         block_number=d["b_height"],
