@@ -33,6 +33,16 @@ field constraints pin the exact 2^256-modular results:
     SHR: in0_i = pow2t * SH_HI_i + SH_LO_i, with SH_LO_i < 2^t enforced
          by SHR_SCALED_i = SH_LO_i * 2^(16-t) being 16-bit checked
   and the K-limb rotation is a one-hot-selected sum (degree 3).
+- BYTE (EVM: in1 is the byte index i counting from the MOST significant
+  byte, in0 the value; i >= 32 -> 0): the shift one-hot banks double as
+  a 32-slot selector over the little-endian byte position j = 31 - i
+  (KSEL covers j < 16, TSEL covers j >= 16). in1_0 = 32*B0_HI + IDX5
+  (exact over Z, both 16-bit checked) pins the low index bits; validity
+  reuses the shift machinery (v=1 forces B0_HI and high index limbs to
+  zero, v=0 forces their sum invertible and empties the selector banks,
+  zeroing the output). The selected 16-bit limb splits as
+  256*BYTE_HI + BYTE_LO (BYTE_LO < 256 by scaled check; BYTE_HI < 256
+  then follows over Z) and out_0 one-hot-selects the half.
 
 All value/scratch limbs are range-checked to 16 bits by one logUp
 against a FIXED (preprocessed) counter column min(row, 2^16-1) — part of
@@ -57,8 +67,11 @@ from .common import Cols, LIMB_BASE, N_LIMBS, int_to_limbs, limbs_to_int
 
 OP_ADD, OP_SUB, OP_LT, OP_MUL = 1, 2, 3, 4
 OP_DIV, OP_MOD, OP_SHR, OP_SHL = 13, 14, 15, 16
+OP_BYTE = 17
+OP_ADDMOD, OP_MULMOD = 21, 22  # ternary: (a, b, N) -> (a op b) mod N
 
-ALL_OPS = (OP_ADD, OP_SUB, OP_LT, OP_MUL, OP_DIV, OP_MOD, OP_SHR, OP_SHL)
+ALL_OPS = (OP_ADD, OP_SUB, OP_LT, OP_MUL, OP_DIV, OP_MOD, OP_SHR, OP_SHL,
+           OP_BYTE, OP_ADDMOD, OP_MULMOD)
 
 _c = Cols()
 IS_ADD = _c.one()
@@ -69,10 +82,14 @@ IS_DIV = _c.one()
 IS_MOD = _c.one()
 IS_SHR = _c.one()
 IS_SHL = _c.one()
+IS_BYTE = _c.one()
+IS_ADDMOD = _c.one()
+IS_MULMOD = _c.one()
 OP_ID = _c.one()
 FILTER = _c.one()
 IN0 = _c.many(N_LIMBS)
 IN1 = _c.many(N_LIMBS)
+IN2 = _c.many(N_LIMBS)  # modop modulus N (zero on binary-op rows)
 OUT = _c.many(N_LIMBS)
 CARRY = _c.many(N_LIMBS)  # boolean carry/borrow chain (add/sub/lt/divmod)
 SCRATCH = _c.many(N_LIMBS)  # LT / REM<IN1 difference limbs (16-bit)
@@ -94,6 +111,23 @@ G_SHIFT = _c.one()  # shifts: (is_shr + is_shl) * (1 - B_VALID)
 SH_LO = _c.many(N_LIMBS)  # shifts: per-limb low part (16-bit checked)
 SH_HI = _c.many(N_LIMBS)  # shifts: per-limb high part (16-bit checked)
 SHR_SCALED = _c.many(N_LIMBS)  # shr: SH_LO * 2^(16-t) (16-bit checked)
+IDX5 = _c.one()  # byte: low index bits; b0=32*B0_HI+IDX5 over Z + the
+# one-hot binding j_lin == v*IDX5 pin it exactly (no scaled check needed)
+BYTE_LO = _c.one()  # byte: selected limb low byte (scaled-checked < 256)
+BYTE_HI = _c.one()  # byte: selected limb high byte
+BYTE_LO_SC = _c.one()  # byte: BYTE_LO * 2^8 (16-bit checked)
+# ADDMOD/MULMOD: full-precision intermediate ACC = (a op b) over Z
+# (32 limbs), identity-A carries (31 pairs), plus 16 extra carry pairs
+# for identity B's high convolution limbs (low 30 pairs reuse MCLO/MCHI
+# + DCLO2/DCHI2 — row kinds are disjoint); Q reuses QUO||REM (32 limbs)
+ACC = _c.many(2 * N_LIMBS)
+ACLO = _c.many(2 * N_LIMBS - 1)
+ACHI = _c.many(2 * N_LIMBS - 1)
+QC2LO = _c.many(16)  # identity-B carries, conv limbs 30..45
+QC2HI = _c.many(16)
+M_NZ = _c.one()  # modop: boolean "N != 0"
+MINV = _c.one()  # modop: inverse witness for sum(IN2 limbs)
+G_MOD = _c.one()  # modop: M_NZ * (is_addmod + is_mulmod)
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
 
@@ -101,6 +135,8 @@ RANGE_CHECKED = (
     IN0 + IN1 + OUT + SCRATCH + MCLO + MCHI
     + QUO + REM + DCLO2 + DCHI2 + [B0_HI]
     + SH_LO + SH_HI + SHR_SCALED
+    + [IDX5, BYTE_LO, BYTE_HI, BYTE_LO_SC]
+    + IN2 + ACC + ACLO + ACHI + QC2LO + QC2HI
 )
 
 RANGE_BOUND = 1 << 16  # limb width; table column clamps here
@@ -109,6 +145,7 @@ F_COUNTER = NUM_COLUMNS  # fixed column, addressed past the trace columns
 _SEL_OF_OP = {
     OP_ADD: IS_ADD, OP_SUB: IS_SUB, OP_LT: IS_LT, OP_MUL: IS_MUL,
     OP_DIV: IS_DIV, OP_MOD: IS_MOD, OP_SHR: IS_SHR, OP_SHL: IS_SHL,
+    OP_BYTE: IS_BYTE, OP_ADDMOD: IS_ADDMOD, OP_MULMOD: IS_MULMOD,
 }
 
 
@@ -131,9 +168,9 @@ class ArithmeticStark(Stark):
         )
         return counter[None, :]
 
-    # CPU-facing lookup tuple
+    # CPU-facing lookup tuple (ternary: binary ops carry IN2 = 0)
     ctl_spec = CtlSpec(
-        columns=tuple([OP_ID] + IN0 + IN1 + OUT), filter_col=FILTER
+        columns=tuple([OP_ID] + IN0 + IN1 + IN2 + OUT), filter_col=FILTER
     )
 
     def eval(self, ctx):
@@ -155,7 +192,8 @@ class ArithmeticStark(Stark):
         c.constraint(o.sub(ctx.local(OP_ID), op))
 
         base = o.constant(LIMB_BASE)
-        is_add, is_sub, is_lt, is_mul, is_div, is_mod, is_shr, is_shl = sels
+        (is_add, is_sub, is_lt, is_mul, is_div, is_mod, is_shr, is_shl,
+         is_byte, is_addmod, is_mulmod) = sels
         carries = [ctx.local(i) for i in CARRY]
         for cy in carries:
             c.constraint(o.mul(cy, o.sub(cy, one)))
@@ -215,6 +253,13 @@ class ArithmeticStark(Stark):
 
         self._eval_divmod(ctx, sels, a, b, out, carries, base)
         self._eval_shifts(ctx, sels, a, b, out, base)
+        self._eval_byte(ctx, sels, a, b, out)
+        self._eval_modop(ctx, sels, a, b, out, carries, base)
+        # binary-op rows carry IN2 = 0 (the CTL tuple includes it)
+        is_modop = o.add(is_addmod, is_mulmod)
+        not_modop = o.sub(ctx.local(FILTER), is_modop)
+        for i in range(N_LIMBS):
+            c.constraint(o.mul(not_modop, ctx.local(IN2[i])))
 
     # -- DIV / MOD -------------------------------------------------------------
 
@@ -295,8 +340,10 @@ class ArithmeticStark(Stark):
     def _eval_shifts(self, ctx, sels, a, b, out, base):
         c, o = ctx.consumer, ctx.ops
         one = o.one()
-        is_shr, is_shl = sels[6], sels[7]
+        is_shr, is_shl, is_byte = sels[6], sels[7], sels[8]
         is_shift = o.add(is_shr, is_shl)
+        # BYTE shares the validity/one-hot machinery (single-op rows)
+        uses_v = o.add(is_shift, is_byte)
         ksel = [ctx.local(i) for i in KSEL]
         tsel = [ctx.local(i) for i in TSEL]
         v = ctx.local(B_VALID)
@@ -342,9 +389,10 @@ class ArithmeticStark(Stark):
         bigsum = b0_hi
         for i in range(1, N_LIMBS):
             bigsum = o.add(bigsum, b[i])
-        c.constraint(o.mul(is_shift, o.mul(v, bigsum)))
-        # g_sh = is_shift * (1 - v); when set, bigsum must be invertible
-        c.constraint(o.sub(g_sh, o.mul(is_shift, o.sub(one, v))))
+        c.constraint(o.mul(uses_v, o.mul(v, bigsum)))
+        # g_sh = (is_shift + is_byte) * (1 - v); when set, bigsum must be
+        # invertible (shift: count >= 256; byte: index >= 32)
+        c.constraint(o.sub(g_sh, o.mul(uses_v, o.sub(one, v))))
         c.constraint(o.mul(g_sh, o.sub(o.mul(bigsum, biginv), one)))
 
         # SHL: a_i * 2^t = 2^16 hi + lo, out_j = sum_k ksel_k (lo_{j-k} + hi_{j-k-1})
@@ -392,11 +440,178 @@ class ArithmeticStark(Stark):
                 acc = term if acc is None else o.add(acc, term)
             c.constraint(o.mul(is_shr, o.sub(out[j], acc)))
 
+    # -- ADDMOD / MULMOD ---------------------------------------------------------
+
+    def _eval_modop(self, ctx, sels, a, b, out, carries, base):
+        """(a + b) mod N and (a * b) mod N at full precision (EVM: the
+        intermediate does NOT wrap 2^256; N == 0 -> 0).
+
+        Identity A pins ACC = a op b over Z (32 limbs, carry pairs);
+        identity B pins Q*N + out == ACC over Z with out < N (borrow
+        chain on CARRY/SCRATCH, like divmod's REM < divisor). Q reuses
+        QUO||REM; identity B's carry pairs reuse MCLO/MCHI + DCLO2/DCHI2
+        for conv limbs 0..29 and QC2LO/QC2HI above — all row-disjoint
+        from MUL/DIV/MOD rows."""
+        c, o = ctx.consumer, ctx.ops
+        one = o.one()
+        is_addmod, is_mulmod = sels[9], sels[10]
+        is_modop = o.add(is_addmod, is_mulmod)
+        n_limbs = [ctx.local(i) for i in IN2]
+        acc_l = [ctx.local(i) for i in ACC]
+        q = [ctx.local(i) for i in QUO] + [ctx.local(i) for i in REM]
+        m_nz = ctx.local(M_NZ)
+        minv = ctx.local(MINV)
+        g = ctx.local(G_MOD)
+
+        s_n = n_limbs[0]
+        for i in range(1, N_LIMBS):
+            s_n = o.add(s_n, n_limbs[i])
+        c.constraint(o.mul(m_nz, o.sub(m_nz, one)))
+        c.constraint(o.mul(is_modop, o.sub(o.mul(s_n, minv), m_nz)))
+        c.constraint(o.mul(is_modop, o.mul(o.sub(one, m_nz), s_n)))
+        c.constraint(o.sub(g, o.mul(m_nz, is_modop)))
+        zg = o.sub(is_modop, g)  # N == 0 rows
+        for i in range(N_LIMBS):
+            c.constraint(o.mul(zg, out[i]))
+        for i in range(2 * N_LIMBS):
+            c.constraint(o.mul(zg, q[i]))
+
+        # identity A: ACC == a + b (addmod) / a * b (mulmod) over Z
+        prev = o.zero()
+        for k in range(2 * N_LIMBS):
+            carry_k = (
+                o.add(ctx.local(ACLO[k]), o.mul(base, ctx.local(ACHI[k])))
+                if k < 2 * N_LIMBS - 1
+                else o.zero()
+            )
+            add_lhs = o.add(a[k], b[k]) if k < N_LIMBS else o.zero()
+            c.constraint(
+                o.mul(
+                    is_addmod,
+                    o.sub(
+                        o.add(add_lhs, prev),
+                        o.add(acc_l[k], o.mul(base, carry_k)),
+                    ),
+                )
+            )
+            mul_lhs = None
+            for i in range(max(0, k - (N_LIMBS - 1)), min(k, N_LIMBS - 1) + 1):
+                t = o.mul(a[i], b[k - i])
+                mul_lhs = t if mul_lhs is None else o.add(mul_lhs, t)
+            mul_lhs = mul_lhs if mul_lhs is not None else o.zero()
+            c.constraint(
+                o.mul(
+                    is_mulmod,
+                    o.sub(
+                        o.add(mul_lhs, prev),
+                        o.add(acc_l[k], o.mul(base, carry_k)),
+                    ),
+                )
+            )
+            prev = carry_k
+
+        # identity B: Q * N + out == ACC over Z (conv limbs 0..46)
+        def qcarry(k):
+            if k < N_LIMBS:
+                return o.add(ctx.local(MCLO[k]), o.mul(base, ctx.local(MCHI[k])))
+            if k < 2 * N_LIMBS - 2:
+                return o.add(
+                    ctx.local(DCLO2[k - N_LIMBS]),
+                    o.mul(base, ctx.local(DCHI2[k - N_LIMBS])),
+                )
+            return o.add(
+                ctx.local(QC2LO[k - (2 * N_LIMBS - 2)]),
+                o.mul(base, ctx.local(QC2HI[k - (2 * N_LIMBS - 2)])),
+            )
+
+        prev = o.zero()
+        for k in range(3 * N_LIMBS - 1):
+            lhs = None
+            for i in range(max(0, k - (N_LIMBS - 1)), min(k, 2 * N_LIMBS - 1) + 1):
+                t = o.mul(q[i], n_limbs[k - i])
+                lhs = t if lhs is None else o.add(lhs, t)
+            lhs = lhs if lhs is not None else o.zero()
+            if k < N_LIMBS:
+                lhs = o.add(lhs, out[k])
+            lhs = o.add(lhs, prev)
+            if k < 2 * N_LIMBS:
+                lhs = o.sub(lhs, acc_l[k])
+            if k < 3 * N_LIMBS - 2:
+                ck = qcarry(k)
+                lhs = o.sub(lhs, o.mul(base, ck))
+                prev = ck
+            c.constraint(o.mul(g, lhs))
+
+        # out < N: borrow chain on N - out - 1 >= 0 (divmod pattern)
+        for i in range(N_LIMBS):
+            cin = carries[i - 1] if i > 0 else one
+            expr = o.sub(
+                o.add(
+                    o.sub(o.sub(n_limbs[i], out[i]), cin),
+                    o.mul(base, carries[i]),
+                ),
+                ctx.local(SCRATCH[i]),
+            )
+            c.constraint(o.mul(g, expr))
+        c.constraint(o.mul(g, carries[N_LIMBS - 1]))
+
+    # -- BYTE --------------------------------------------------------------------
+
+    def _eval_byte(self, ctx, sels, a, b, out):
+        c, o = ctx.consumer, ctx.ops
+        is_byte = sels[8]
+        # 32-slot one-hot over little-endian byte position j = 31 - index
+        sel = [ctx.local(i) for i in KSEL] + [ctx.local(i) for i in TSEL]
+        v = ctx.local(B_VALID)
+        b0_hi = ctx.local(B0_HI)
+        idx5 = ctx.local(IDX5)
+        blo = ctx.local(BYTE_LO)
+        bhi = ctx.local(BYTE_HI)
+        blo_sc = ctx.local(BYTE_LO_SC)
+
+        # index low limb decomposition: exact over Z with both parts
+        # range-checked 16-bit; when v = 1, bigsum = 0 forces B0_HI = 0 so
+        # IDX5 = b_0 = the true index, and j_lin below pins the slot
+        c.constraint(
+            o.mul(
+                is_byte,
+                o.sub(b[0], o.add(o.mul(o.constant(32), b0_hi), idx5)),
+            )
+        )
+        # one-hot sums to validity bit; selected slot matches the index
+        s_all = sel[0]
+        j_lin = o.mul(o.constant(31), sel[0])
+        for j in range(1, 32):
+            s_all = o.add(s_all, sel[j])
+            j_lin = o.add(j_lin, o.mul(o.constant(31 - j), sel[j]))
+        c.constraint(o.mul(is_byte, o.sub(s_all, v)))
+        c.constraint(o.mul(is_byte, o.sub(j_lin, o.mul(v, idx5))))
+        # selected limb splits into bytes; BYTE_LO < 256 via scaled check,
+        # BYTE_HI < 256 then follows over Z from limb < 2^16
+        limb_sel = None
+        half_sel = None
+        for j in range(32):
+            t1 = o.mul(sel[j], a[j >> 1])
+            limb_sel = t1 if limb_sel is None else o.add(limb_sel, t1)
+            t2 = o.mul(sel[j], bhi if (j & 1) else blo)
+            half_sel = t2 if half_sel is None else o.add(half_sel, t2)
+        c.constraint(
+            o.mul(
+                is_byte,
+                o.sub(limb_sel, o.add(o.mul(o.constant(256), bhi), blo)),
+            )
+        )
+        c.constraint(o.mul(is_byte, o.sub(blo_sc, o.mul(o.constant(256), blo))))
+        c.constraint(o.mul(is_byte, o.sub(out[0], half_sel)))
+        for i in range(1, N_LIMBS):
+            c.constraint(o.mul(is_byte, out[i]))
+
 
 def generate_trace(
-    requests: List[Tuple[int, int, int]], n_rows: int
+    requests: List[Tuple], n_rows: int
 ) -> Tuple[np.ndarray, List[int]]:
-    """requests: [(op, a, b)] -> (trace (NUM_COLUMNS, n_rows) u64, results).
+    """requests: [(op, a, b)] or [(op, a, b, n)] (ternary modops)
+    -> (trace (NUM_COLUMNS, n_rows) u64, results).
 
     The fixed range column is min(row, 2^16-1): production (n >= 2^16)
     proves a sound 16-bit bound; smaller test tables only bound limbs by
@@ -407,14 +622,17 @@ def generate_trace(
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
     results: List[int] = []
 
-    for r, (op, a, b) in enumerate(requests):
-        a_l, b_l = int_to_limbs(a), int_to_limbs(b)
+    for r, req in enumerate(requests):
+        op, a, b = req[0], req[1], req[2]
+        n2 = req[3] if len(req) > 3 else 0
+        a_l, b_l, n_l = int_to_limbs(a), int_to_limbs(b), int_to_limbs(n2)
         tr[OP_ID, r] = op
         tr[FILTER, r] = 1
         tr[_SEL_OF_OP[op], r] = 1
         for i in range(N_LIMBS):
             tr[IN0[i], r] = a_l[i]
             tr[IN1[i], r] = b_l[i]
+            tr[IN2[i], r] = n_l[i]
         if op == OP_ADD:
             res = (a + b) % (1 << 256)
             out_l = int_to_limbs(res)
@@ -457,6 +675,10 @@ def generate_trace(
             res = _fill_divmod(tr, r, op, a, b, a_l, b_l)
         elif op in (OP_SHR, OP_SHL):
             res = _fill_shift(tr, r, op, a, b, a_l, b_l)
+        elif op == OP_BYTE:
+            res = _fill_byte(tr, r, a, b, a_l, b_l)
+        elif op in (OP_ADDMOD, OP_MULMOD):
+            res = _fill_modop(tr, r, op, a, b, n2, a_l, b_l)
         else:
             raise ValueError(f"unknown arithmetic op {op}")
         results.append(res)
@@ -557,4 +779,108 @@ def _fill_shift(tr, r, op, a, b, a_l, b_l) -> int:
             # pow2t = 0: a_i = 0*hi + lo forces lo = a_i; scaled = lo*0 = 0
             for i in range(N_LIMBS):
                 tr[SH_LO[i], r] = a_l[i]
+    return res
+
+
+def _fill_modop(tr, r, op, a, b, n2, a_l, b_l) -> int:
+    acc = a + b if op == OP_ADDMOD else a * b
+    if n2 == 0:
+        res = 0
+        acc_l = [(acc >> (16 * k)) & 0xFFFF for k in range(2 * N_LIMBS)]
+        for k in range(2 * N_LIMBS):
+            tr[ACC[k], r] = acc_l[k]
+        # identity-A carries for the zero-modulus row too (A is gated by
+        # the op selector, not by M_NZ)
+        _fill_acc_carries(tr, r, op, a_l, b_l, acc_l)
+        return 0
+    n_l = int_to_limbs(n2)
+    q, res = divmod(acc, n2)
+    tr[M_NZ, r] = 1
+    tr[G_MOD, r] = 1
+    tr[MINV, r] = fh.inv(sum(n_l) % fh.P)
+    acc_l = [(acc >> (16 * k)) & 0xFFFF for k in range(2 * N_LIMBS)]
+    q_l = [(q >> (16 * k)) & 0xFFFF for k in range(2 * N_LIMBS)]
+    out_l = int_to_limbs(res)
+    for k in range(2 * N_LIMBS):
+        tr[ACC[k], r] = acc_l[k]
+        tr[(QUO + REM)[k], r] = q_l[k]
+    for i in range(N_LIMBS):
+        tr[OUT[i], r] = out_l[i]
+    _fill_acc_carries(tr, r, op, a_l, b_l, acc_l)
+    # identity B carries
+    carry = 0
+    for k in range(3 * N_LIMBS - 1):
+        conv = sum(
+            q_l[i] * n_l[k - i]
+            for i in range(max(0, k - (N_LIMBS - 1)), min(k, 2 * N_LIMBS - 1) + 1)
+        )
+        tot = conv + (out_l[k] if k < N_LIMBS else 0) + carry
+        expect = acc_l[k] if k < 2 * N_LIMBS else 0
+        assert tot & 0xFFFF == expect, "modop identity broke"
+        carry = tot >> 16
+        if k < N_LIMBS:
+            tr[MCLO[k], r] = carry & 0xFFFF
+            tr[MCHI[k], r] = carry >> 16
+        elif k < 2 * N_LIMBS - 2:
+            tr[DCLO2[k - N_LIMBS], r] = carry & 0xFFFF
+            tr[DCHI2[k - N_LIMBS], r] = carry >> 16
+        elif k < 3 * N_LIMBS - 2:
+            tr[QC2LO[k - (2 * N_LIMBS - 2)], r] = carry & 0xFFFF
+            tr[QC2HI[k - (2 * N_LIMBS - 2)], r] = carry >> 16
+    assert carry == 0
+    # out < N borrow chain
+    borrow = 1
+    for i in range(N_LIMBS):
+        s = n_l[i] - out_l[i] - borrow
+        borrow = 1 if s < 0 else 0
+        tr[CARRY[i], r] = borrow
+        tr[SCRATCH[i], r] = s + (LIMB_BASE if borrow else 0)
+    assert borrow == 0, "modop remainder >= modulus"
+    return res
+
+
+def _fill_acc_carries(tr, r, op, a_l, b_l, acc_l) -> None:
+    carry = 0
+    for k in range(2 * N_LIMBS - 1):
+        if op == OP_ADDMOD:
+            lhs = (a_l[k] + b_l[k]) if k < N_LIMBS else 0
+        else:
+            lhs = sum(
+                a_l[i] * b_l[k - i]
+                for i in range(max(0, k - (N_LIMBS - 1)), min(k, N_LIMBS - 1) + 1)
+            )
+        tot = lhs + carry
+        assert tot & 0xFFFF == acc_l[k]
+        carry = tot >> 16
+        tr[ACLO[k], r] = carry & 0xFFFF
+        tr[ACHI[k], r] = carry >> 16
+    assert carry == acc_l[2 * N_LIMBS - 1]
+
+
+def _fill_byte(tr, r, a, b, a_l, b_l) -> int:
+    """EVM BYTE: in0 = value, in1 = index i from the MSB; i >= 32 -> 0."""
+    idx5 = b_l[0] & 31
+    b0_hi = b_l[0] >> 5
+    tr[IDX5, r] = idx5
+    tr[B0_HI, r] = b0_hi
+    valid = b < 32
+    if valid:
+        j = 31 - b  # little-endian byte position
+        limb = a_l[j >> 1]
+        lo, hi = limb & 0xFF, limb >> 8
+        tr[B_VALID, r] = 1
+        if j < 16:
+            tr[KSEL[j], r] = 1
+        else:
+            tr[TSEL[j - 16], r] = 1
+        tr[BYTE_LO, r] = lo
+        tr[BYTE_HI, r] = hi
+        tr[BYTE_LO_SC, r] = lo << 8
+        res = hi if (j & 1) else lo
+    else:
+        bigsum = (b0_hi + sum(b_l[1:])) % fh.P
+        tr[BIGINV, r] = fh.inv(bigsum)
+        tr[G_SHIFT, r] = 1
+        res = 0
+    tr[OUT[0], r] = res
     return res

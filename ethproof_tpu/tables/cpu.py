@@ -180,8 +180,9 @@ class CpuStark(Stark):
         return NUM_COLUMNS + i
 
     def arith_ctl_spec(self) -> CtlSpec:
+        zero16 = [LC(terms=(), const=0)] * N_LIMBS  # binary ops: IN2 = 0
         return CtlSpec(
-            columns=tuple([self._f(self.F_OP)] + IN0 + IN1 + OUT),
+            columns=tuple([self._f(self.F_OP)] + IN0 + IN1 + zero16 + OUT),
             filter_col=self._f(self.F_IS_ARITH),
         )
 

@@ -84,6 +84,7 @@ from .memory import MemoryOp
 
 STOP = 0x00
 ADD, MUL, SUB, DIV, MOD = 0x01, 0x02, 0x03, 0x04, 0x06
+ADDMOD, MULMOD = 0x08, 0x09
 LT, GT, EQ, ISZERO = 0x10, 0x11, 0x14, 0x15
 AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
 SHL, SHR = 0x1B, 0x1C
@@ -236,6 +237,7 @@ SP_FIRST = _c.one()  # sponge first-row CTL filter
 SP_FINAL = _c.one()  # sponge final-row CTL filter
 AR_PLAIN = _c.one()  # arithmetic CTL filter (EVM operand order)
 AR_SWAP = _c.one()  # arithmetic CTL filter (swapped operand order)
+AR_TERN = _c.one()  # arithmetic CTL filter (ternary modops)
 LG_PLAIN = _c.one()  # logic CTL filter (AND/OR/XOR)
 IS_PACK = _c.one()  # bytepacking CTL filter
 PACK_WRITE = _c.one()  # bytepacking direction (1 = unpack-to-memory)
@@ -261,6 +263,7 @@ REVB = _c.many(32)  # byte bank (value <-> byte-stream mediation)
 # opcode selectors: simple one-hots + family selectors with an N bank
 SIMPLE_OPS = (
     STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, EQ, ISZERO,
+    ADDMOD, MULMOD,
     AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
     ADDRESS, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
     POP, MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, PC_OP, JUMPDEST,
@@ -589,6 +592,17 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 em.arith.append((ar.OP_BYTE, b, a))
             tr[AR_SWAP if op in (SHL, SHR, BYTE_) else AR_PLAIN, r] = 1
             spush(r, 3, res)
+        elif op in (ADDMOD, MULMOD):
+            x = spop(r, 1)
+            y = spop(r, 2)
+            n = spop(r, 3)
+            acc = x + y if op == ADDMOD else x * y
+            res = acc % n if n else 0
+            em.arith.append(
+                (ar.OP_ADDMOD if op == ADDMOD else ar.OP_MULMOD, x, y, n)
+            )
+            tr[AR_TERN, r] = 1
+            spush(r, 4, res)
         elif op == GT:  # a > b == b < a: swapped LT request
             a = spop(r, 1)
             b = spop(r, 2)
@@ -861,6 +875,7 @@ def _fill_iszero(tr, r, v: int) -> None:
 # per-opcode SP delta and PC advance for the simple selectors
 _SP_DELTA = {
     STOP: 0, ADD: -1, MUL: -1, SUB: -1, DIV: -1, MOD: -1, LT: -1, GT: -1,
+    ADDMOD: -2, MULMOD: -2,
     EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
     SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
     CALLDATALOAD: 0, CALLDATASIZE: 1, POP: -1, MLOAD: 0, MSTORE: -2,
@@ -876,6 +891,7 @@ _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
                 DIV: ar.OP_DIV, MOD: ar.OP_MOD, LT: ar.OP_LT}
 # swapped: the table wants (value, count) / (value, index) / LT reversed
 _ARITH_SWAP = {GT: ar.OP_LT, SHL: ar.OP_SHL, SHR: ar.OP_SHR, BYTE_: ar.OP_BYTE}
+_ARITH_TERN = {ADDMOD: ar.OP_ADDMOD, MULMOD: ar.OP_MULMOD}
 
 
 class EvmStark(Stark):
@@ -1020,25 +1036,36 @@ class EvmStark(Stark):
         return LC(terms=tuple((SEL[op], tid) for op, tid in table.items()), const=0)
 
     def arith_ctl_specs(self) -> List[CtlSpec]:
+        zero16 = [LC(terms=(), const=0)] * N_LIMBS  # binary ops: IN2 = 0
         plain = CtlSpec(
             columns=tuple(
-                [self._opid_lc(_ARITH_PLAIN)] + CH_VAL[1] + CH_VAL[2] + CH_VAL[3]
+                [self._opid_lc(_ARITH_PLAIN)]
+                + CH_VAL[1] + CH_VAL[2] + zero16 + CH_VAL[3]
             ),
             filter_col=AR_PLAIN,
         )
         swapped = CtlSpec(
             columns=tuple(
-                [self._opid_lc(_ARITH_SWAP)] + CH_VAL[2] + CH_VAL[1] + CH_VAL[3]
+                [self._opid_lc(_ARITH_SWAP)]
+                + CH_VAL[2] + CH_VAL[1] + zero16 + CH_VAL[3]
             ),
             filter_col=AR_SWAP,
         )
         eq = CtlSpec(
             columns=tuple(
-                [LC(terms=(), const=ar.OP_SUB)] + CH_VAL[1] + CH_VAL[2] + CH_VAL[4]
+                [LC(terms=(), const=ar.OP_SUB)]
+                + CH_VAL[1] + CH_VAL[2] + zero16 + CH_VAL[4]
             ),
             filter_col=SEL[EQ],
         )
-        return [plain, swapped, eq]
+        tern = CtlSpec(
+            columns=tuple(
+                [self._opid_lc(_ARITH_TERN)]
+                + CH_VAL[1] + CH_VAL[2] + CH_VAL[3] + CH_VAL[4]
+            ),
+            filter_col=AR_TERN,
+        )
+        return [plain, swapped, eq, tern]
 
     def logic_ctl_specs(self) -> List[CtlSpec]:
         plain = CtlSpec(
@@ -1196,7 +1223,7 @@ class EvmStark(Stark):
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLER,
                        CALLVALUE, CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
-                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI)
+                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD, MULMOD)
         ]
         ch2_users = [
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap,
@@ -1204,14 +1231,15 @@ class EvmStark(Stark):
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
-                       MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI)
+                       MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD,
+                       MULMOD)
         ]
         ch3_users = [fswap] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
-                       AND_, OR_, XOR_, SLOAD, SSTORE)
+                       AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD)
         ]
-        ch4_users = [fswap, sel[SLOAD], sel[SSTORE]]
+        ch4_users = [fswap, sel[SLOAD], sel[SSTORE], sel[ADDMOD], sel[MULMOD]]
 
         def acc(users, extra=None):
             tot = None
@@ -1434,6 +1462,14 @@ class EvmStark(Stark):
             zsum4 = L(CH_VAL[4][k]) if zsum4 is None else o.add(zsum4, L(CH_VAL[4][k]))
         c.constraint(o.mul(seq, o.sub(zs, zsum4)))
         bind_byte(seq, 3, z)
+
+        # -- ADDMOD / MULMOD (pop 3, push 1)
+        tern_gate = o.add(sel[ADDMOD], sel[MULMOD])
+        bind(tern_gate, 1, 1, const(SEG_STACK), spm(1))
+        bind(tern_gate, 2, 1, const(SEG_STACK), spm(2))
+        bind(tern_gate, 3, 1, const(SEG_STACK), spm(3))
+        bind(tern_gate, 4, 0, const(SEG_STACK), spm(3))
+        c.constraint(o.sub(L(AR_TERN), tern_gate))
 
         # -- ISZERO / NOT (pop 1, push 1 in place)
         siz = sel[ISZERO]

@@ -186,6 +186,97 @@ class TestDivModShiftProveVerify:
 
         assert not self._roundtrip([(ar.OP_SHL, 5, 3)], tamper)
 
+    def test_modop_results(self):
+        big = (1 << 256) - 1
+        _, res = ar.generate_trace(
+            [
+                (ar.OP_ADDMOD, big, 5, 7),
+                (ar.OP_MULMOD, big, big, (1 << 130) + 3),
+                (ar.OP_ADDMOD, 10, 20, 0),
+                (ar.OP_MULMOD, 10, 20, 0),
+            ],
+            1 << 16,
+        )
+        assert res == [
+            (big + 5) % 7,
+            (big * big) % ((1 << 130) + 3),
+            0,
+            0,
+        ]
+
+    def test_modop_roundtrip(self):
+        # 64-row tier: tiny operands keep every limb below the table bound
+        reqs = [
+            (ar.OP_ADDMOD, 45, 5, 7),   # 50 % 7 = 1
+            (ar.OP_MULMOD, 6, 7, 5),    # 42 % 5 = 2
+            (ar.OP_ADDMOD, 3, 4, 0),    # N == 0 -> 0
+        ]
+        tr, res = ar.generate_trace(reqs, 64)
+        assert res == [1, 2, 0]
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_modop_wrong_result_rejected(self):
+        tr, _ = ar.generate_trace([(ar.OP_ADDMOD, 45, 5, 7)], 64)
+        tr[ar.OUT[0], 0] = 2  # claim (45+5) % 7 == 2
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert not stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_modop_zero_modulus_forgery_rejected(self):
+        tr, _ = ar.generate_trace([(ar.OP_ADDMOD, 3, 4, 0)], 64)
+        tr[ar.OUT[0], 0] = 7  # EVM: x addmod 0 must be 0
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert not stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_byte_results(self):
+        v = 0x0102 << 240
+        _, res = ar.generate_trace(
+            [
+                (ar.OP_BYTE, v, 0),
+                (ar.OP_BYTE, v, 1),
+                (ar.OP_BYTE, 0xAB, 31),
+                (ar.OP_BYTE, 0xAB, 32),
+                (ar.OP_BYTE, 0xAB, 1 << 200),
+            ],
+            1 << 16,
+        )
+        assert res == [1, 2, 171, 0, 0]
+
+    def test_byte_roundtrip(self):
+        # 1024-row tier: limbs < 1024 and BYTE_LO_SC = lo*256 < 1024
+        reqs = [
+            (ar.OP_BYTE, 0x0302, 31),  # low byte of limb 0 -> 2
+            (ar.OP_BYTE, 0x0302, 30),  # high byte of limb 0 -> 3
+            (ar.OP_BYTE, 0x0302, 32),  # invalid index -> 0
+            (ar.OP_BYTE, 0x0302, 1 << 200),  # huge index -> 0
+        ]
+        tr, res = ar.generate_trace(reqs, 1 << 10)
+        assert res == [2, 3, 0, 0]
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_wrong_byte_rejected(self):
+        def tamper(tr):
+            tr[ar.OUT[0], 0] = 3  # claim byte 31 of 0x0302 == 3
+
+        tr, _ = ar.generate_trace([(ar.OP_BYTE, 0x0302, 31)], 1 << 10)
+        tamper(tr)
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert not stark_verify(ar.ArithmeticStark(), proof, CFG)
+
+    def test_byte_validity_forgery_rejected(self):
+        # prover claims the valid index 31 is invalid (tries to output 0)
+        tr, _ = ar.generate_trace([(ar.OP_BYTE, 0x0302, 31)], 1 << 10)
+        tr[ar.B_VALID, 0] = 0
+        tr[ar.KSEL[0], 0] = 0
+        tr[ar.G_SHIFT, 0] = 1
+        tr[ar.BIGINV, 0] = 1  # bigsum == 0: no valid inverse exists
+        tr[ar.BYTE_LO, 0] = 0
+        tr[ar.BYTE_LO_SC, 0] = 0
+        tr[ar.OUT[0], 0] = 0
+        proof = stark_prove(ar.ArithmeticStark(), tr, [], CFG)
+        assert not stark_verify(ar.ArithmeticStark(), proof, CFG)
+
     def test_shift_validity_forgery_rejected(self):
         # prover claims a small count is invalid (tries to output 0)
         def tamper(tr):

@@ -167,6 +167,8 @@ class TestConstraints:
             E.CALLER, E.POP, E.CALLVALUE, E.POP, E.CALLDATASIZE, E.POP,
             ("push", 0), E.CALLDATALOAD, ("push", 224), E.SHR, E.POP,
             # arithmetic
+            ("push", 7), ("push", 5), ("push", 45), E.ADDMOD, E.POP,
+            ("push", 5), ("push", 7), ("push", 6), E.MULMOD, E.POP,
             ("push", 9), ("push", 45), E.DIV, E.POP,
             ("push", 7), ("push", 45), E.MOD, E.POP,
             ("push", 3), ("push", 5), E.MUL, ("push", 14), E.ADD,
