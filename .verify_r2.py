@@ -87,4 +87,23 @@ bad_pi = list(bp.pi_words)
 bad_pi[PI_STATE_ROOT_POST] ^= 1
 assert not verify_all_tables(cpu, bad_pi, bp.multi, TCFG)
 print("tampered post-root rejected by the STARK alone: True")
+
+# 4. EVM machine: a real ERC-20 transfer(address,uint256) transaction —
+# the machine fetches committed bytecode, binds it to code_hash via the
+# sponge, journals storage; verify includes the host trie binding.
+from test_contract_call import make_erc20_witness, SIZES as MSZ
+from ethproof_tpu.evm import contract as C
+
+gim = make_erc20_witness()
+t0 = time.time()
+ccp = C.prove_contract_call(gim, TCFG, MSZ)
+t1 = time.time()
+ok = C.verify_contract_call(ccp, TCFG)
+print(f"ERC-20 machine proof: prove={t1-t0:.1f}s verify={time.time()-t1:.1f}s ok={ok}")
+assert ok
+bad = list(ccp.machine_pi)
+bad[ccp.shape.pi_layout["storage"] + 5] += 1  # forge recipient balance
+from ethproof_tpu.tables import all as TA, evm as EV
+assert not TA.verify_evm_tables(EV.EvmStark(ccp.shape), bad, ccp.multi, TCFG)
+print("forged token balance rejected by the machine STARK: True")
 print("VERIFY PASS")

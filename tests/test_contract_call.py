@@ -173,3 +173,32 @@ class TestContractCallProof:
         assert C.verify_contract_call(proof, CFG)
         proof.machine_pi[proof.shape.pi_layout["storage"] + 5] += 1
         assert not C.verify_contract_call(proof, CFG)
+
+
+class TestMixedBlockDispatch:
+    """Host-level scheduler plumbing for blocks mixing transfers and
+    contract calls: size fitting and the recursion pre-scan."""
+
+    def test_fit_block_sizes_mixed(self):
+        from test_transfer_e2e import make_transfer_witness
+
+        from ethproof_tpu.runtime.prover_state import CircuitConfig
+        from ethproof_tpu.runtime.scheduler import _fit_block_sizes
+
+        gis = [make_transfer_witness(), make_erc20_witness()]
+        sizes = _fit_block_sizes(gis, CircuitConfig())
+        assert sizes.keccak is not None  # machine needs the keccak pair
+        assert sizes.arithmetic >= 16  # production floor from the ranges
+        assert sizes.cpu >= 10  # covers the machine's 2^10 default rows
+
+    def test_prescan_dedups_shapes(self):
+        from ethproof_tpu.evm.contract import machine_inputs_for_tx
+
+        g1 = make_erc20_witness(amount=30, sender_tokens=100, bob_tokens=5)
+        g2 = make_erc20_witness(amount=7, sender_tokens=50, bob_tokens=0)
+        shapes = []
+        for gi in (g1, g2):
+            shape, _, _ = machine_inputs_for_tx(gi)
+            if shape not in shapes:
+                shapes.append(shape)
+        assert len(shapes) == 1  # same contract/calldata layout -> one shape
