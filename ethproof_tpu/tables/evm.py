@@ -64,7 +64,13 @@ item is a completeness gap, never a soundness gap):
     (the outer kernel must not use the journal of a reverted frame);
   - LOG* pops its operands; the event payload binds to receipts
     host-side (receipts trie is maintained by the witness front-end);
-  - RETURN data is popped but not exposed.
+  - RETURN data is popped but not exposed;
+  - the 1024-slot EVM stack-depth limit is not enforced (execution is
+    deterministic given code+calldata, so this diverges from consensus
+    only for programs that legitimately overflow — the host generator
+    is the completeness gate);
+  - CALLDATALOAD/MLOAD offsets >= 2^32 are Unsupported rather than
+    EVM's read-zeros semantics.
 """
 
 from __future__ import annotations
