@@ -125,6 +125,30 @@ def main() -> None:
     import ethproof_tpu.poly.ntt as nttm
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+    # Device-init watchdog: the tunneled TPU backend can hang for tens of
+    # minutes (blocked in C++, so in-process alarms cannot interrupt it)
+    # before raising UNAVAILABLE when the tunnel is down. Probe init in a
+    # SUBPROCESS under a timeout and fall back to the CPU backend with an
+    # honestly-labeled metric rather than hanging the bench harness.
+    import subprocess
+
+    cpu_fallback = False
+    probe_timeout = int(os.environ.get("ETHPROOF_BENCH_INIT_TIMEOUT", "300"))
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        _log(f"TPU backend unavailable ({type(e).__name__}); "
+             "falling back to CPU — metric labeled _cpu_fallback")
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/ethproof_jax_cache_cpu"
+        )
+        cpu_fallback = True
     dev = jax.devices()[0]
     _log(f"device: {dev}")
 
@@ -160,6 +184,7 @@ def main() -> None:
             {
                 "metric": (
                     f"goldilocks_ntt_butterflies_per_s_{H_COLS}x2^{H_LOGN}_mxu"
+                    + ("_cpu_fallback" if cpu_fallback else "")
                 ),
                 "value": round(head_mxu, 1),
                 "unit": "butterflies/s/chip",
