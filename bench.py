@@ -155,8 +155,10 @@ def main() -> None:
     mxu = lambda c: mx._mxu_ntt_impl(c, inverse=False)
     radix2 = lambda c: nttm._ntt_impl(c, inverse=False)
 
-    # headline: the STARK trace-commit shape (hundreds of columns)
-    H_LOGN, H_COLS = 20, 256
+    # headline: the STARK trace-commit shape (hundreds of columns);
+    # the CPU fallback shrinks it to stay tractable (metric name carries
+    # the actual shape, so the numbers stay self-describing)
+    H_LOGN, H_COLS = (16, 16) if cpu_fallback else (20, 256)
     a = _rand_batch(H_LOGN, H_COLS)
     head_mxu = measure(mxu, a, H_LOGN, H_COLS)
     head_r2 = measure(radix2, a, H_LOGN, H_COLS)
