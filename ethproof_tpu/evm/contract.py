@@ -129,22 +129,10 @@ def machine_inputs_for_tx(
     storage_pre: Dict[int, int] = {}
     caller = int.from_bytes(sender, "big")
     while True:
-        shape = E.EvmShape(
-            code_len=len(code),
-            calldata_len=len(tx.data),
-            n_skeys=len(storage_pre),
-            log_rows=log_rows,
-        )
-        inputs = E.EvmInputs(
-            code=code,
-            calldata=tx.data,
-            caller=caller,
-            callvalue=tx.value,
-            storage_pre=dict(storage_pre),
-        )
         try:
-            res = E.execute_evm(shape, inputs)
-            return shape, inputs, res
+            return E.discover_and_execute(
+                code, tx.data, caller, tx.value, storage_pre, log_rows
+            )
         except E.UnknownStorageKey as miss:
             storage_pre[miss.key] = slot_pre(miss.key)
 
@@ -288,7 +276,12 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
     m_acc = get_acct(proof.miner)
     m_acc["balance"] += fee
     put_acct(proof.miner, m_acc)
-    return state.hash() == gi.trie_roots_after.state_root
+    if state.hash() != gi.trie_roots_after.state_root:
+        return False
+    # receipts: the machine's PI-bound logs must reproduce the witness
+    # receipts-root transition (skipped if the witness has no receipts
+    # commitment)
+    return check_receipts_binding(proof)
 
 
 def verify_contract_call(proof: ContractCallProof, config: StarkConfig) -> bool:
@@ -299,3 +292,75 @@ def verify_contract_call(proof: ContractCallProof, config: StarkConfig) -> bool:
     if not A.verify_evm_tables(machine, proof.machine_pi, proof.multi, config):
         return False
     return check_contract_binding(proof)
+
+
+# -- receipts binding -----------------------------------------------------------
+
+
+def _bloom_of(entries) -> bytes:
+    """2048-bit logs bloom (consensus m3:2048): for each entry, set the
+    three bits indexed by the first three big-endian 2-byte pairs of
+    keccak(entry) mod 2048."""
+    bloom = bytearray(256)
+    for e in entries:
+        h = keccak256(e)
+        for k in (0, 2, 4):
+            bit = ((h[k] << 8) | h[k + 1]) & 2047
+            bloom[256 - 1 - bit // 8] |= 1 << (bit % 8)
+    return bytes(bloom)
+
+
+def machine_logs(proof: ContractCallProof):
+    """(address, topics, data) per LOG event, from the machine's public
+    inputs (the STARK binds them to the executed LOG operands)."""
+    lay = proof.shape.pi_layout
+    out = []
+    for i, (nt, dl) in enumerate(proof.shape.log_shapes):
+        base = lay["log_words"][i]
+        topics = [
+            proof.machine_pi[base + t].to_bytes(32, "big") for t in range(nt)
+        ]
+        data = proof.machine_pi[base + nt].to_bytes(32, "big")[:dl]
+        out.append((proof.to, topics, data))
+    return out
+
+
+def expected_receipt(proof: ContractCallProof) -> bytes:
+    """Consensus legacy-receipt RLP for this tx, rebuilt from the proof's
+    public log inputs + the witness gas accounting."""
+    from ..trie import rlp
+
+    gi = proof.gen_inputs
+    success = proof.machine_pi[proof.shape.pi_layout["success"]]
+    logs = machine_logs(proof) if success else []
+    entries = []
+    for addr, topics, _data in logs:
+        entries.append(addr)
+        entries.extend(topics)
+    return rlp.encode(
+        [
+            rlp.int_to_bytes(int(success)),
+            rlp.int_to_bytes(gi.gas_used_after),
+            _bloom_of(entries),
+            [[a, t, d] for a, t, d in logs],
+        ]
+    )
+
+
+def check_receipts_binding(proof: ContractCallProof) -> bool:
+    """Insert the rebuilt receipt into the witness receipts trie and
+    compare against trie_roots_after.receipts_root. Skipped (True) when
+    the witness carries no receipts commitment (all-zero root), matching
+    the transfer kernel's current scope."""
+    from ..trie import rlp
+
+    gi = proof.gen_inputs
+    want = gi.trie_roots_after.receipts_root
+    if want == b"\x00" * 32:
+        return True
+    rt = gi.tries.receipts_trie.copy()
+    rt.insert(
+        Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(gi.txn_number_before))),
+        expected_receipt(proof),
+    )
+    return rt.hash() == want

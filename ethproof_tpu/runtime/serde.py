@@ -192,6 +192,28 @@ def tx_proof_from_json(d: dict) -> TxProof:
     )
 
 
+def _evm_shape_to_json(sh) -> dict:
+    return {
+        "code_len": sh.code_len,
+        "calldata_len": sh.calldata_len,
+        "n_skeys": sh.n_skeys,
+        "log_rows": sh.log_rows,
+        "log_shapes": [list(x) for x in sh.log_shapes],
+    }
+
+
+def _evm_shape_from_json(d: dict):
+    from ..tables.evm import EvmShape
+
+    return EvmShape(
+        code_len=int(d["code_len"]),
+        calldata_len=int(d["calldata_len"]),
+        n_skeys=int(d["n_skeys"]),
+        log_rows=int(d["log_rows"]),
+        log_shapes=tuple(tuple(x) for x in d.get("log_shapes", [])),
+    )
+
+
 def contract_proof_to_json(p) -> dict:
     return {
         "kind": "contract",
@@ -205,12 +227,7 @@ def contract_proof_to_json(p) -> dict:
             if p.root_proof is not None
             else None
         ),
-        "shape": {
-            "code_len": p.shape.code_len,
-            "calldata_len": p.shape.calldata_len,
-            "n_skeys": p.shape.n_skeys,
-            "log_rows": p.shape.log_rows,
-        },
+        "shape": _evm_shape_to_json(p.shape),
         "machine_pi": [str(w) for w in p.machine_pi],
         "gen_inputs": p.gen_inputs.to_json(),
         "sender": p.sender.hex(),
@@ -223,14 +240,13 @@ def contract_proof_to_json(p) -> dict:
 def contract_proof_from_json(d: dict):
     from ..evm.contract import ContractCallProof
     from ..stark.multi import MultiProof
-    from ..tables.evm import EvmShape
 
     multi = None
     if d.get("multi") is not None:
         multi = MultiProof(proofs=[stark_proof_from_json(x) for x in d["multi"]])
     return ContractCallProof(
         multi=multi,
-        shape=EvmShape(**d["shape"]),
+        shape=_evm_shape_from_json(d["shape"]),
         machine_pi=[int(w) for w in d["machine_pi"]],
         gen_inputs=GenerationInputs.from_json(d["gen_inputs"]),
         sender=bytes.fromhex(d["sender"]),
@@ -302,11 +318,7 @@ def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
             "level": s.level,
             "sizes": vars(s.sizes) if s.sizes is not None else None,
             "evm_shapes": (
-                [
-                    {"code_len": sh.code_len, "calldata_len": sh.calldata_len,
-                     "n_skeys": sh.n_skeys, "log_rows": sh.log_rows}
-                    for sh in s.evm_shapes
-                ]
+                [_evm_shape_to_json(sh) for sh in s.evm_shapes]
                 if s.evm_shapes
                 else None
             ),
@@ -337,9 +349,7 @@ def block_proof_from_json(d: dict) -> GeneratedBlockProof:
             )
         evm_shapes = None
         if s.get("evm_shapes"):
-            from ..tables.evm import EvmShape
-
-            evm_shapes = [EvmShape(**e) for e in s["evm_shapes"]]
+            evm_shapes = [_evm_shape_from_json(e) for e in s["evm_shapes"]]
         succinct = SuccinctBlockProof(
             top=machine_proof_from_json(s["top"]),
             level=int(s["level"]),

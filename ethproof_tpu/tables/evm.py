@@ -141,6 +141,14 @@ class Unsupported(Exception):
     """Witness outside the machine's documented envelope."""
 
 
+class UnknownLogShape(Exception):
+    """A LOG event fell outside shape.log_shapes — the discovery loop
+    (evm/contract.py) extends the shape and re-runs."""
+
+    def __init__(self, index: int, n_topics: int, data_len: int):
+        self.index, self.n_topics, self.data_len = index, n_topics, data_len
+
+
 class UnknownStorageKey(Exception):
     """SLOAD/SSTORE touched a key absent from storage_pre — the caller
     (evm/contract.py discovery loop) adds the key and re-runs."""
@@ -152,6 +160,9 @@ class UnknownStorageKey(Exception):
 # -- shape (fixes the circuit) -------------------------------------------------
 
 
+MAX_LOGS = 4  # LSEL selector bank width (envelope: <= 4 LOG events/frame)
+
+
 @dataclass(frozen=True)
 class EvmShape:
     """Static parameters that define one EvmStark circuit (the analogue
@@ -161,6 +172,11 @@ class EvmShape:
     calldata_len: int
     n_skeys: int  # touched storage slots
     log_rows: int
+    # emitted LOG events in execution order: (n_topics, data_len) each;
+    # topics and one data word per log become public inputs (the
+    # receipts-root binding consumes them, evm/contract.py). Envelope:
+    # data_len <= 32 bytes, at most MAX_LOGS events.
+    log_shapes: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def n_calldata_words(self) -> int:
@@ -200,14 +216,20 @@ class EvmShape:
         return self.code_len
 
     # public input words: CALLER, CALLVALUE, CALLDATA..., CODEHASH,
-    # per-key (KEY, VPRE, VPOST), SUCCESS
+    # per-key (KEY, VPRE, VPOST), per-log (topics..., data word), SUCCESS
     @property
     def pi_layout(self) -> Dict[str, int]:
         lay = {"caller": 0, "callvalue": 1, "calldata": 2}
         at = 2 + self.n_calldata_words
         lay["codehash"] = at
         lay["storage"] = at + 1
-        lay["success"] = at + 1 + 3 * self.n_skeys
+        at = at + 1 + 3 * self.n_skeys
+        lay["logs"] = at
+        lay["log_words"] = [None] * len(self.log_shapes)
+        for i, (nt, _dl) in enumerate(self.log_shapes):
+            lay["log_words"][i] = at
+            at += nt + 1
+        lay["success"] = at
         return lay
 
     @property
@@ -230,6 +252,9 @@ PUSHLEN = _c.one()  # scan: pushlen(code byte) from the opcode-info table
 IS_JD = _c.one()  # scan: byte is a JUMPDEST opcode (and INPUSH == 0)
 SCAN_COMB = _c.one()  # byte + 256*PUSHLEN + 2^16*IS_JD (logUp-bound)
 SIDX = _c.one()  # storage journal index witness
+LOGIDX = _c.one()  # count of completed LOG events so far
+S_LOGX = _c.one()  # internal: LOG continuation row (topics 3/4)
+LSEL = _c.many(4)  # one-hot over the log index on LOG/LOGX rows (MAX_LOGS)
 Z = _c.one()  # iszero/eq/jumpi/scan zero-flag (1 on rows that bind no ZS)
 ZINV = _c.one()  # inverse witness for the nonzero branch
 ZS = _c.one()  # the limb-sum whose zeroness Z decides (bound per op)
@@ -457,6 +482,8 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
     pi_words = [inputs.caller, inputs.callvalue] + cd_words + [codehash]
     for k in skeys:
         pi_words += [k, inputs.storage_pre[k], 0]  # vpost patched below
+    for nt, _dl in shape.log_shapes:
+        pi_words += [0] * (nt + 1)  # topics + data word, patched on LOG
 
     r = 0
     # -- INIT: one row per calldata word — a bytepacking window WRITES the
@@ -559,6 +586,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         tr[PC, r] = pc
         tr[SP, r] = sp
         tr[HP, r] = hp
+        tr[LOGIDX, r] = len(logs)
         em.chan(r, 0, 1, SEG_CODE, pc, op)  # fetch
         if op in SEL:
             tr[SEL[op], r] = 1
@@ -673,14 +701,51 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             stack[-1], stack[-1 - n] = b, a
         elif LOG0 <= op <= LOG0 + 4:
             n = op - LOG0
-            tr[F_LOG, r] = 1
-            tr[NSEL[n], r] = 1
+            li = len(logs)
             ofs, ln = stack[-1], stack[-2]
             topics = [stack[-3 - k] for k in range(n)]
+            if li >= len(shape.log_shapes) or shape.log_shapes[li] != (n, ln):
+                raise UnknownLogShape(li, n, ln)
+            if li >= MAX_LOGS:
+                raise Unsupported(f"more than {MAX_LOGS} LOG events")
+            if ln > 32:
+                raise Unsupported("LOG data longer than 32 bytes")
+            if ofs >= 1 << 32:
+                raise Unsupported("memory offset >= 2^32")
+            tr[F_LOG, r] = 1
+            tr[NSEL[n], r] = 1
+            tr[LSEL[li], r] = 1
+            em.chan(r, 1, 1, SEG_STACK, sp - 1, ofs)
+            em.chan(r, 2, 1, SEG_STACK, sp - 2, ln)
+            if n >= 1:
+                em.chan(r, 3, 1, SEG_STACK, sp - 3, topics[0])
+            if n >= 2:
+                em.chan(r, 4, 1, SEG_STACK, sp - 4, topics[1])
             data = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
+            if ln:
+                em.pack(r, 1, SEG_MAIN, ofs, data)
+            lay_logs = lay["log_words"][li]
+            for t in range(n):
+                pi_words[lay_logs + t] = topics[t]
+            pi_words[lay_logs + n] = int.from_bytes(data.ljust(32, b"\0"), "big")
             logs.append((topics, data))
             del stack[-2 - n:]
-            sp -= 2 + n  # pure sp drop: dead cells need no reads
+            if n >= 3:
+                # continuation row reads topics 3/4 and drops the slots
+                tr[HALTED, r] = 0
+                r += 1
+                if r >= exec_end:
+                    raise Unsupported("execution rows exhausted in LOG")
+                tr[S_LOGX, r] = 1
+                tr[LSEL[li], r] = 1
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[HP, r] = hp
+                tr[LOGIDX, r] = li
+                em.chan(r, 1, 1, SEG_STACK, sp - 5, topics[2])
+                if n >= 4:
+                    em.chan(r, 2, 1, SEG_STACK, sp - 6, topics[3])
+            sp -= 2 + n
         elif op == POP:
             stack.pop()
             sp -= 1  # pure sp drop: dead cell needs no read
@@ -756,6 +821,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 tr[SP, r] = sp
                 tr[R0, r], tr[R1, r], tr[R2, r] = r0, r1, r2
                 tr[HP, r] = base_hp
+                tr[LOGIDX, r] = len(logs)
                 tr[HS_SEG, r] = SEG_HASH
                 tr[H_TS, r] = hash_ts
                 data = bytes(evm_mem.get(r0 + k, 0) for k in range(32))
@@ -770,6 +836,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             tr[SP_FINAL, r] = 1
             tr[PC, r] = pc
             tr[SP, r] = sp
+            tr[LOGIDX, r] = len(logs)
             tr[R1, r] = r1
             tr[HS_SEG, r] = SEG_HASH
             tr[H_TS, r] = hash_ts
@@ -837,6 +904,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         tr[PC, rr] = pc
         tr[SP, rr] = sp
         tr[HP, rr] = hp
+        tr[LOGIDX, rr] = len(logs)
     tr[HALTED, halt_row] = 0  # halt row itself is active; sticky from next
     # -- FINAL: bind post-values
     for i, k in enumerate(skeys):
@@ -845,6 +913,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         tr[PC, rr] = pc
         tr[SP, rr] = sp
         tr[HP, rr] = hp
+        tr[LOGIDX, rr] = len(logs)
         em.chan(rr, 1, 1, SEG_SVALS, i, storage[k])
         pi_words[lay["storage"] + 3 * i + 2] = storage[k]
     pi_words.append(success)
@@ -863,6 +932,34 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         logs=logs,
         return_data=return_data,
     )
+
+
+def discover_and_execute(
+    code: bytes,
+    calldata: bytes,
+    caller: int,
+    callvalue: int,
+    storage_pre: Dict[int, int],
+    log_rows: int,
+) -> Tuple[EvmShape, EvmInputs, EvmResult]:
+    """Run the host interpreter, growing the shape's log list on
+    UnknownLogShape misses (storage discovery is the caller's job —
+    evm/contract.py reads missing slots from the witness trie)."""
+    log_shapes: List[Tuple[int, int]] = []
+    while True:
+        shape = EvmShape(
+            code_len=len(code),
+            calldata_len=len(calldata),
+            n_skeys=len(storage_pre),
+            log_rows=log_rows,
+            log_shapes=tuple(log_shapes),
+        )
+        inputs = EvmInputs(code, calldata, caller, callvalue, dict(storage_pre))
+        try:
+            return shape, inputs, execute_evm(shape, inputs)
+        except UnknownLogShape as miss:
+            assert miss.index == len(log_shapes)
+            log_shapes.append((miss.n_topics, miss.data_len))
 
 
 def _fill_iszero(tr, r, v: int) -> None:
@@ -1160,8 +1257,9 @@ class EvmStark(Stark):
         # -- booleans
         bools = (
             [HALTED, Z, F_PUSH, F_DUP, F_SWAP, F_LOG, S_KPACK, S_KDIG,
-             SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE, AR_PLAIN, AR_SWAP,
-             LG_PLAIN, IS_JD]
+             S_LOGX, SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE, AR_PLAIN,
+             AR_SWAP, LG_PLAIN, IS_JD]
+            + list(LSEL)
             + [SEL[op] for op in SIMPLE_OPS]
             + list(NSEL)
             + CH_USED
@@ -1185,7 +1283,10 @@ class EvmStark(Stark):
         for op in SIMPLE_OPS:
             simple_sum = sel[op] if simple_sum is None else o.add(simple_sum, sel[op])
         fam_sum = o.add(o.add(fpush, fdup), o.add(fswap, flog))
-        all_sum = o.add(o.add(simple_sum, fam_sum), o.add(kpack, kdig))
+        logx = L(S_LOGX)
+        all_sum = o.add(
+            o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)
+        )
         c.constraint(o.sub(all_sum, act))
         nsel_sum = None
         nlin = None
@@ -1203,7 +1304,7 @@ class EvmStark(Stark):
 
         # -- fetch channel 0
         ch0u = L(CH_USED[0])
-        c.constraint(o.sub(ch0u, o.sub(act, o.add(kpack, kdig))))
+        c.constraint(o.sub(ch0u, o.sub(act, o.add(o.add(kpack, kdig), logx))))
         c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_SEG[0]), const(SEG_CODE))))
         c.constraint(o.mul(ch0u, o.sub(L(CH_VIRT[0]), pc)))
@@ -1221,9 +1322,28 @@ class EvmStark(Stark):
         c.constraint(o.sub(dec, o.mul(ch0u, L(CH_VAL[0][0]))))
 
         # -- channel usage accounting (ch1..ch4)
+        # per-log static topic counts / data presence (shape constants)
+        nt_of = [nt for nt, _dl in s.log_shapes]
+        dl_of = [dl for _nt, dl in s.log_shapes]
+        lsel = [L(LSEL[i]) for i in range(len(s.log_shapes))]
+        nsel_le2 = o.add(nsel[0], o.add(nsel[1], nsel[2]))
+        nsel_ge2 = o.add(nsel[2], o.add(nsel[3], nsel[4]))
+        nsel_ge3 = o.add(nsel[3], nsel[4])
+        logx_t4 = None  # LOGX rows of logs with 4 topics
+        for i in range(len(s.log_shapes)):
+            if nt_of[i] >= 4:
+                t = o.mul(logx, lsel[i])
+                logx_t4 = t if logx_t4 is None else o.add(logx_t4, t)
+        logx_t4 = logx_t4 if logx_t4 is not None else zero
+        log_data = None  # LOG rows of logs with data
+        for i in range(len(s.log_shapes)):
+            if dl_of[i] > 0:
+                t = o.mul(flog, lsel[i])
+                log_data = t if log_data is None else o.add(log_data, t)
+        log_data = log_data if log_data is not None else zero
         ch1_users = [
             F(self.F_SVINIT), F(self.F_REPACK), F(self.F_SCAN),
-            F(self.F_FINAL), fpush, fdup, fswap, kpack, kdig,
+            F(self.F_FINAL), fpush, fdup, fswap, kpack, kdig, flog, logx,
         ] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
@@ -1257,9 +1377,19 @@ class EvmStark(Stark):
 
         jumpi_taken = o.mul(sel[JUMPI], o.sub(one, z))
         c.constraint(o.sub(L(CH_USED[1]), acc(ch1_users)))
-        c.constraint(o.sub(L(CH_USED[2]), acc(ch2_users)))
-        c.constraint(o.sub(L(CH_USED[3]), acc(ch3_users, jumpi_taken)))
-        c.constraint(o.sub(L(CH_USED[4]), acc(ch4_users)))
+        c.constraint(
+            o.sub(L(CH_USED[2]), acc(ch2_users, o.add(flog, logx_t4)))
+        )
+        c.constraint(
+            o.sub(
+                L(CH_USED[3]),
+                acc(
+                    ch3_users,
+                    o.add(jumpi_taken, o.mul(flog, o.sub(one, nsel[0]))),
+                ),
+            )
+        )
+        c.constraint(o.sub(L(CH_USED[4]), acc(ch4_users, o.mul(flog, nsel_ge2))))
 
         # -- generic channel binding helper
         def bind(gate, ch, is_read, seg_expr, virt_expr):
@@ -1544,7 +1674,10 @@ class EvmStark(Stark):
         c.constraint(
             o.sub(
                 L(IS_PACK),
-                o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
+                o.add(
+                    o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
+                    log_data,
+                ),
             )
         )
         c.constraint(o.sub(L(PACK_WRITE), o.add(sms, pre_packs)))
@@ -1558,7 +1691,10 @@ class EvmStark(Stark):
                     o.mul(scdl, const(SEG_CALLDATA)),
                     o.mul(f_rp, const(SEG_CODE)),
                 ),
-                o.mul(o.add(o.add(sml, sms), kpack), const(SEG_MAIN)),
+                o.mul(
+                    o.add(o.add(o.add(sml, sms), kpack), log_data),
+                    const(SEG_MAIN),
+                ),
             ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_SEG)), seg_expr))
@@ -1567,14 +1703,25 @@ class EvmStark(Stark):
                 o.mul(push_packs, o.add(pc, one)),
                 o.mul(window_pop, ofs32),
             ),
-            o.add(o.mul(kpack, L(R0)), o.mul(pre_packs, F(self.F_A1))),
+            o.add(
+                o.add(o.mul(kpack, L(R0)), o.mul(pre_packs, F(self.F_A1))),
+                o.mul(log_data, ofs32),
+            ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_VIRT)), virt_expr))
+        log_len = None
+        for i in range(len(s.log_shapes)):
+            if dl_of[i] > 0:
+                t = o.mul(o.mul(flog, lsel[i]), const(dl_of[i]))
+                log_len = t if log_len is None else o.add(log_len, t)
         len_expr = o.add(
-            o.mul(
-                o.add(o.add(push_packs, window_pop), kpack), const(32)
+            o.add(
+                o.mul(
+                    o.add(o.add(push_packs, window_pop), kpack), const(32)
+                ),
+                o.mul(pre_packs, F(self.F_PLEN)),
             ),
-            o.mul(pre_packs, F(self.F_PLEN)),
+            log_len if log_len is not None else zero,
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_LEN)), len_expr))
 
@@ -1617,6 +1764,85 @@ class EvmStark(Stark):
         for k in range(1, N_LIMBS):
             c.constraint(o.mul(jumpi_taken, L(CH_VAL[1][k])))
 
+        # -- LOG events: operands read from the stack, topics + data word
+        # bound to per-log public inputs; >2 topics spill to a LOGX row
+        lay_lw = lay.get("log_words", [])
+        bind(flog, 1, 1, const(SEG_STACK), spm(1))  # offset
+        bind(flog, 2, 1, const(SEG_STACK), spm(2))  # length
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(flog, L(CH_VAL[1][k])))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(flog, L(CH_VAL[2][k])))
+        dl_sum = None
+        nt_sum = None
+        for i in range(len(s.log_shapes)):
+            t = o.mul(lsel[i], const(dl_of[i]))
+            dl_sum = t if dl_sum is None else o.add(dl_sum, t)
+            t2 = o.mul(lsel[i], const(nt_of[i]))
+            nt_sum = t2 if nt_sum is None else o.add(nt_sum, t2)
+        dl_sum = dl_sum if dl_sum is not None else zero
+        nt_sum = nt_sum if nt_sum is not None else zero
+        c.constraint(o.mul(flog, o.sub(L(CH_VAL[2][0]), dl_sum)))
+        c.constraint(o.mul(flog, o.sub(nlin, nt_sum)))  # shape topic count
+        t1gate = o.mul(flog, o.sub(one, nsel[0]))
+        bind(t1gate, 3, 1, const(SEG_STACK), spm(3))
+        t2gate = o.mul(flog, nsel_ge2)
+        bind(t2gate, 4, 1, const(SEG_STACK), spm(4))
+        bind(logx, 1, 1, const(SEG_STACK), spm(5))
+        bind(logx_t4, 2, 1, const(SEG_STACK), spm(6))
+        for i in range(len(s.log_shapes)):
+            base_w = lay_lw[i]
+            nt, dl = nt_of[i], dl_of[i]
+            for k in range(N_LIMBS):
+                if nt >= 1:
+                    c.constraint(o.mul(o.mul(flog, lsel[i]), o.sub(
+                        L(CH_VAL[3][k]), ctx.public_input(16 * base_w + k))))
+                if nt >= 2:
+                    c.constraint(o.mul(o.mul(flog, lsel[i]), o.sub(
+                        L(CH_VAL[4][k]),
+                        ctx.public_input(16 * (base_w + 1) + k))))
+                if nt >= 3:
+                    c.constraint(o.mul(o.mul(logx, lsel[i]), o.sub(
+                        L(CH_VAL[1][k]),
+                        ctx.public_input(16 * (base_w + 2) + k))))
+                if nt >= 4:
+                    c.constraint(o.mul(o.mul(logx, lsel[i]), o.sub(
+                        L(CH_VAL[2][k]),
+                        ctx.public_input(16 * (base_w + 3) + k))))
+                # data word: big-endian composition of the packed bytes
+                if dl > 0:
+                    c.constraint(o.mul(o.mul(flog, lsel[i]), o.sub(
+                        v_limb(k), ctx.public_input(16 * (base_w + nt) + k))))
+                else:
+                    c.constraint(o.mul(o.mul(flog, lsel[i]),
+                                       ctx.public_input(16 * (base_w + nt) + k)))
+        # LOGX phase: follows exactly the LOG rows with >= 3 topics
+        c.constraint_transition(
+            o.mul(N(S_LOGX), o.sub(o.mul(flog, nsel_ge3), one))
+        )
+        c.constraint_transition(
+            o.mul(o.mul(flog, nsel_ge3), o.sub(one, N(S_LOGX)))
+        )
+        # log counter + index selector
+        c.constraint_first_row(L(LOGIDX))
+        completion = o.add(o.mul(flog, nsel_le2), logx)
+        c.constraint_transition(
+            o.sub(N(LOGIDX), o.add(L(LOGIDX), completion))
+        )
+        lsum = None
+        lidx = None
+        for i in range(len(s.log_shapes)):
+            lsum = lsel[i] if lsum is None else o.add(lsum, lsel[i])
+            t = o.mul(const(i), lsel[i])
+            lidx = t if lidx is None else o.add(lidx, t)
+        lsum = lsum if lsum is not None else zero
+        lidx = lidx if lidx is not None else zero
+        c.constraint(o.sub(lsum, o.add(flog, logx)))
+        c.constraint(o.mul(o.add(flog, logx), o.sub(lidx, L(LOGIDX))))
+        # unused LSEL slots (beyond the shape's log count) stay zero
+        for i in range(len(s.log_shapes), 4):
+            c.constraint(L(LSEL[i]))
+
         # -- halting + success
         halt_fired = acc([sel[STOP], sel[RETURN], sel[REVERT]])
         c.constraint_transition(o.sub(N(HALTED), o.add(halted, halt_fired)))
@@ -1641,7 +1867,8 @@ class EvmStark(Stark):
                 t = o.mul(const(a), sel[op])
                 pc_adv = t if pc_adv is None else o.add(pc_adv, t)
         pc_adv = o.add(pc_adv, o.mul(fpush, o.add(one, nlin)))
-        pc_adv = o.add(pc_adv, o.add(fdup, o.add(fswap, flog)))
+        pc_adv = o.add(pc_adv, o.add(fdup, fswap))
+        pc_adv = o.add(pc_adv, o.add(o.mul(flog, nsel_le2), logx))
         pc_adv = o.add(pc_adv, kdig)
         pc_adv = o.add(pc_adv, o.mul(sj, o.sub(L(CH_VAL[1][0]), pc)))
         pc_adv = o.add(
@@ -1657,6 +1884,14 @@ class EvmStark(Stark):
                 sp_d = t if sp_d is None else o.add(sp_d, t)
         sp_d = o.add(sp_d, o.add(fpush, fdup))
         sp_d = o.add(sp_d, kdig)
-        log_drop = o.mul(flog, o.add(const(2), nlin))
+        # LOG0-2 drop on the LOG row; LOG3/4 drop on the LOGX row
+        log_drop = o.mul(o.mul(flog, nsel_le2), o.add(const(2), nlin))
+        logx_drop = None
+        for i in range(len(s.log_shapes)):
+            if nt_of[i] >= 3:
+                t = o.mul(o.mul(logx, lsel[i]), const(2 + nt_of[i]))
+                logx_drop = t if logx_drop is None else o.add(logx_drop, t)
         sp_d = o.sub(sp_d, log_drop)
+        if logx_drop is not None:
+            sp_d = o.sub(sp_d, logx_drop)
         c.constraint_transition(o.sub(N(SP), o.add(sp, sp_d)))

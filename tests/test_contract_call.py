@@ -75,6 +75,34 @@ def make_erc20_witness(amount=30, sender_tokens=100, bob_tokens=5,
     gas_used = 51000
     fee = gas_price * gas_used
 
+    # receipts commitment: empty pre-trie + the tx's consensus receipt
+    from ethproof_tpu.evm.contract import _bloom_of
+    from ethproof_tpu.trie import rlp as _rlp
+    from ethproof_tpu.trie.nibbles import Nibbles as _Nib
+
+    ok_pre = sender_tokens >= amount
+    if ok_pre:
+        topics = [
+            erc20.TRANSFER_TOPIC.to_bytes(32, "big"),
+            int.from_bytes(sender, "big").to_bytes(32, "big"),
+            int.from_bytes(BOB, "big").to_bytes(32, "big"),
+        ]
+        logs = [[TOKEN, topics, amount.to_bytes(32, "big")]]
+        entries = [TOKEN] + topics
+    else:
+        logs, entries = [], []
+    receipt = _rlp.encode([
+        _rlp.int_to_bytes(1 if ok_pre else 0),
+        _rlp.int_to_bytes(gas_used),
+        _bloom_of(entries),
+        logs,
+    ])
+    receipts_trie = PartialTrie()
+    receipts_post = receipts_trie.copy()
+    receipts_post.insert(
+        _Nib.from_bytes(_rlp.encode(_rlp.int_to_bytes(0))), receipt
+    )
+
     # expected post state (independent computation)
     ok = sender_tokens >= amount
     post_strie = strie.copy()
@@ -101,9 +129,12 @@ def make_erc20_witness(amount=30, sender_tokens=100, bob_tokens=5,
         signed_txn=raw,
         tries=TrieInputs(
             state_trie=state,
+            receipts_trie=receipts_trie,
             storage_tries=[(keccak256(TOKEN), strie)],
         ),
-        trie_roots_after=TrieRoots(state_root=root_after),
+        trie_roots_after=TrieRoots(
+            state_root=root_after, receipts_root=receipts_post.hash()
+        ),
         checkpoint_state_trie_root=state.hash(),
         block_metadata=BlockMetadata(block_beneficiary=MINER, block_chain_id=1),
         contract_code={token_acct["code_hash"]: code},
@@ -146,6 +177,21 @@ class TestDiscoveryAndBinding:
         pi = list(res.pi_words)
         lay = shape.pi_layout
         pi[lay["storage"] + 2] += 1  # extra token out of thin air
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=pi, gen_inputs=gi,
+            sender=private_key_to_address(PK), to=TOKEN, miner=MINER,
+            gas_used=51000,
+        )
+        assert not C.check_contract_binding(proof)
+
+    def test_forged_log_amount_breaks_receipts_binding(self):
+        gi = make_erc20_witness()
+        shape, inputs, res = C.machine_inputs_for_tx(gi)
+        pi = list(res.pi_words)
+        lay = shape.pi_layout
+        # forge the Transfer event's data word (amount) — state roots
+        # still match, but the receipts-root rebuild must fail
+        pi[lay["log_words"][0] + 3] += 1
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=pi, gen_inputs=gi,
             sender=private_key_to_address(PK), to=TOKEN, miner=MINER,

@@ -29,7 +29,10 @@ SIZES = A.TableSizes(
 
 def run_transfer(caller, to, amount, balances):
     shape, inputs = erc20.transfer_inputs(caller, to, amount, balances)
-    res = E.execute_evm(shape, inputs)
+    shape, inputs, res = E.discover_and_execute(
+        inputs.code, inputs.calldata, inputs.caller, inputs.callvalue,
+        inputs.storage_pre, shape.log_rows,
+    )
     return shape, inputs, res
 
 
@@ -69,14 +72,11 @@ class TestSemantics:
 
     def test_address_masking(self):
         dirty_to = (0xFF << 160) | BOB  # high bits must be masked off
-        shape, inputs = erc20.transfer_inputs(ALICE, BOB, 7, {ALICE: 10})
+        _, inputs = erc20.transfer_inputs(ALICE, BOB, 7, {ALICE: 10})
         calldata = erc20.transfer_calldata(dirty_to, 7)
-        shape2 = E.EvmShape(
-            shape.code_len, len(calldata), shape.n_skeys, shape.log_rows
-        )
-        res = E.execute_evm(
-            shape2,
-            E.EvmInputs(inputs.code, calldata, ALICE, 0, inputs.storage_pre),
+        _, _, res = E.discover_and_execute(
+            inputs.code, calldata, ALICE, 0, inputs.storage_pre,
+            log_rows=9,
         )
         assert res.storage_post[erc20.balance_slot(BOB)] == 7
 

@@ -82,9 +82,8 @@ def ctl_multisets_ok(starks, traces, ctls, max_report=4):
 def build(code, calldata=b"", caller=0xC0FFEE, callvalue=0, storage=None,
           log_rows=9):
     storage = storage or {}
-    shape = E.EvmShape(len(code), len(calldata), len(storage), log_rows)
-    res = E.execute_evm(
-        shape, E.EvmInputs(code, calldata, caller, callvalue, storage)
+    shape, _inputs, res = E.discover_and_execute(
+        code, calldata, caller, callvalue, storage, log_rows
     )
     machine = E.EvmStark(shape)
     return shape, machine, res

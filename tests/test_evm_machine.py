@@ -93,9 +93,8 @@ def pi_limbs(words):
 def run(code, calldata=b"", caller=0xC0FFEE, callvalue=0, storage=None,
         log_rows=9):
     storage = storage or {}
-    shape = E.EvmShape(len(code), len(calldata), len(storage), log_rows)
-    res = E.execute_evm(
-        shape, E.EvmInputs(code, calldata, caller, callvalue, storage)
+    shape, _inputs, res = E.discover_and_execute(
+        code, calldata, caller, callvalue, storage, log_rows
     )
     return shape, res
 
@@ -186,8 +185,8 @@ class TestConstraints:
             # storage
             ("push", key), E.SLOAD, ("push", 1), E.ADD,
             ("push", key), E.SSTORE,
-            # control flow + event
-            ("push", 1), ("push", 40), ("push", 77),
+            # control flow + event (topic=1, 32 data bytes at offset 0)
+            ("push", 1), ("push", 32), ("push", 0),
             E.LOG0 + 1,
             E.PC_OP, E.POP,
             E.STOP,
