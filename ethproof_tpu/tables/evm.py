@@ -75,14 +75,14 @@ item is a completeness gap, never a soundness gap):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..stark.stark import CtlSpec, LC, LookupSpec, Stark
 from . import arithmetic as ar
-from .common import Cols, N_LIMBS, int_to_limbs, limbs_to_int
+from .common import Cols, N_LIMBS, int_to_limbs
 from .logic import OP_AND, OP_OR, OP_XOR
 from .memory import MemoryOp
 
