@@ -109,6 +109,9 @@ def machine_inputs_for_tx(
     """Decode the tx, discover touched slots, run the machine host
     interpreter. -> (shape, inputs, result)."""
     tx = decode_legacy_tx(gi.signed_txn)
+    assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
+        "EIP-155 chain id mismatch"
+    )
     assert len(tx.to) == 20, "contract creation unsupported"
     sender = tx.sender()
     acct_raw = gi.tries.state_trie.get(_acct_key(tx.to))

@@ -254,6 +254,11 @@ def derive_pi_words(gi: GenerationInputs) -> Tuple[List[int], bytes, bytes, byte
     assert gi.signed_txn is not None, "dummy payloads have no kernel run"
     tx = decode_legacy_tx(gi.signed_txn)
     assert len(tx.to) == 20, "contract creation is not a transfer"
+    # EIP-155: a replay-protected tx must target this chain
+    assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
+        f"tx chain id {tx.chain_id} != block chain id "
+        f"{gi.block_metadata.block_chain_id}"
+    )
     sender = tx.sender()
     recipient = tx.to
     miner = gi.block_metadata.block_beneficiary

@@ -51,9 +51,13 @@ class LegacyTx:
     def recid(self) -> int:
         if self.v in (27, 28):
             return self.v - 27
+        assert self.v >= 35, f"invalid legacy v {self.v}"
         return (self.v - 35) % 2
 
     def sender(self) -> bytes:
+        # consensus validity (EIP-2): s must be in the low half of the
+        # order; r, s in [1, N) is asserted inside recovery
+        assert 1 <= self.s <= secp256k1.N // 2, "EIP-2: high-s signature"
         return secp256k1.recover_address(
             self.signing_hash(), self.r, self.s, self.recid()
         )
