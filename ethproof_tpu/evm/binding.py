@@ -134,28 +134,59 @@ class UpdateWitness:
 @dataclass
 class PiBinding:
     """How one account update's leaf fields bind to CPU public inputs.
-    None = the field must instead be PRESERVED across the update."""
+    None = the field must instead be PRESERVED across the update.
+    sroot_pre_pi/sroot_post_pi (contract calls): the storage root is NOT
+    preserved — it must equal these PI words instead, which the storage
+    chain (emit_slot_chain) separately proves to connect the changed
+    slots to the account."""
 
     bal_pre_pi: int
     bal_post_pi: int
     nonce_pre_pi: Optional[int] = None
     nonce_post_pi: Optional[int] = None
+    sroot_pre_pi: Optional[int] = None
+    sroot_post_pi: Optional[int] = None
 
 
 def build_update_witness(
-    trie: PartialTrie, key: Nibbles, nonce: int, balance: int, shape: KernelShape
+    trie: PartialTrie,
+    key: Nibbles,
+    nonce: int,
+    balance: int,
+    shape: KernelShape,
+    storage_root: Optional[bytes] = None,
 ) -> Tuple[UpdateWitness, PartialTrie]:
-    """Witness for one account's (nonce, balance) update; returns the
-    post trie for chaining. Raises Unsupported outside the envelope."""
+    """Witness for one account's (nonce, balance[, storage_root]) update;
+    returns the post trie for chaining. Raises Unsupported outside the
+    envelope."""
     pre = walk_path(trie, key)
     raw = trie.get(key)
     if raw is None:
         raise Unsupported("account does not exist pre-state")
     acc = decode_account(raw)
     acc["nonce"], acc["balance"] = nonce, balance
+    if storage_root is not None:
+        acc["storage_root"] = storage_root
     post_trie = trie.copy()
     post_trie.insert(key, encode_account(acc))
     post = walk_path(post_trie, key)
+    _check_same_shape(pre, post, shape)
+    return (
+        UpdateWitness(
+            pre=pre, post=post, root_pre=trie.hash(), root_post=post_trie.hash()
+        ),
+        post_trie,
+    )
+
+
+def encode_slot_value(v: int) -> bytes:
+    """Storage-trie leaf value: RLP(minimal big-endian uint)."""
+    from ..trie import rlp
+
+    return rlp.encode(rlp.int_to_bytes(v))
+
+
+def _check_same_shape(pre: PathInfo, post: PathInfo, shape: KernelShape) -> None:
     if len(pre.nodes) != len(post.nodes) or pre.is_branch != post.is_branch:
         raise Unsupported("update restructures the trie")
     if pre.idxs != post.idxs:
@@ -165,9 +196,26 @@ def build_update_witness(
     for n in pre.nodes + post.nodes:
         if len(n) > shape.max_node_bytes:
             raise Unsupported(f"node of {len(n)}B exceeds shape capacity")
+
+
+def build_slot_update_witness(
+    strie: PartialTrie, key: Nibbles, new_value: int, shape: KernelShape
+) -> Tuple[UpdateWitness, PartialTrie]:
+    """Witness for one storage-slot value update; returns the post trie
+    for chaining. Raises Unsupported outside the envelope (absent slot,
+    deletion — both restructure the trie)."""
+    if strie.get(key) is None:
+        raise Unsupported("slot does not exist pre-state")
+    if new_value == 0:
+        raise Unsupported("slot deletion restructures the trie")
+    pre = walk_path(strie, key)
+    post_trie = strie.copy()
+    post_trie.insert(key, encode_slot_value(new_value))
+    post = walk_path(post_trie, key)
+    _check_same_shape(pre, post, shape)
     return (
         UpdateWitness(
-            pre=pre, post=post, root_pre=trie.hash(), root_post=post_trie.hash()
+            pre=pre, post=post, root_pre=strie.hash(), root_post=post_trie.hash()
         ),
         post_trie,
     )
@@ -211,6 +259,16 @@ class _LeafFields:
     chash: int
     hp_x: int  # first 32 hexprefix-item bytes (LE) for key-suffix compare
     hp_total: int  # hexprefix item size incl. its header byte
+    hp_b32: int
+    hp_b33: int
+    hdr: int
+
+
+@dataclass
+class _SlotFields:
+    val: int  # the slot's uint256 value
+    hp_x: int
+    hp_total: int
     hp_b32: int
     hp_b33: int
     hdr: int
@@ -441,6 +499,44 @@ class BindingEmitter:
             hp_x=hp_x, hp_total=t1, hp_b32=hp_b32, hp_b33=hp_b33, hdr=hdr,
         )
 
+    def leaf_slot(self, base: int, L: int, gate: int) -> "_SlotFields":
+        """Parse a STORAGE-trie leaf (gated): outer 2-list [hexprefix,
+        value-string] where the value string's content is itself
+        RLP(uint256). Returns (value, key-suffix fields)."""
+        k = self.k
+        one = self.c(1)
+        _payload, hdr, is_f9 = self._list_header(base, L, gate)
+        # slot leaves are < 256 bytes (33B suffix + 34B value)
+        k.gassert0(gate, is_f9)
+        t1, c1off, c1len, hb1, single1 = self._string_item(base, hdr)
+        fb = k.byte_at(base, c1off)
+        flag = k.div(fb, self.c(16))
+        k.gassert0(gate, k.sub(k.lt(one, flag), one))  # flag in {2,3}
+        k.gassert0(gate, k.sub(k.lt(flag, self.c(4)), one))
+        k.gassert0(gate, k.sub(k.lt(c1len, self.c(34)), one))
+        k.gassert0(
+            k.mul(k.mul(gate, k.sub(one, single1)), k.eq(c1len, one)),
+            k.sub(k.lt(self.c(0x7F), fb), one),
+        )
+        hp_x = k.extract(base, hdr, 32)
+        hp_b32 = k.byte_at(base, k.add(hdr, self.c(32)))
+        hp_b33 = k.byte_at(base, k.add(hdr, self.c(33)))
+        v_off = k.add(hdr, t1)
+        t2, c2off, c2len, hb2, single2 = self._string_item(base, v_off)
+        k.gassert0(gate, k.sub(k.lt(c2len, self.c(34)), one))
+        k.gassert0(
+            k.mul(k.mul(gate, k.sub(one, single2)), k.eq(c2len, one)),
+            k.sub(k.lt(self.c(0x7F), hb2), one),
+        )
+        # the string's content is RLP(uint256); it must tile exactly
+        val, p_end = self._int_item(base, c2off, 32, gate)
+        k.gassert_eq(gate, p_end, k.add(c2off, c2len))
+        k.gassert_eq(gate, k.add(v_off, t2), L)
+        return _SlotFields(
+            val=val, hp_x=hp_x, hp_total=t1, hp_b32=hp_b32, hp_b33=hp_b33,
+            hdr=hdr,
+        )
+
     def _int_item(self, base: int, off: int, max_len: int, gate: int):
         """RLP unsigned integer item -> (value_reg, next_off). Canonical:
         single byte < 0x80 encodes itself; otherwise 0x80+len with no
@@ -467,16 +563,15 @@ class BindingEmitter:
 
     # one account update --------------------------------------------------------
 
-    def update(
+    def _path_pair(
         self,
         uw: Optional[UpdateWitness],
         root_in: int,
         root_out: int,
-        pib: PiBinding,
-        pi_words: Optional[List[int]],
-    ) -> None:
-        """Emit the full path-pair verification for one account update.
-        `uw`/`pi_words` are None in program-only (verifier) mode."""
+    ):
+        """Shared path-pair machinery: hash every level, bind the roots,
+        constrain the interiors, and gather the leaf level into dedicated
+        regions. -> (leaf_pre_base, leaf_post_base, Lf_pre, Lf_post)."""
         k, shape = self.k, self.shape
         one, L = self.c(1), self.shape.levels
         NW = shape.node_words
@@ -534,13 +629,12 @@ class BindingEmitter:
         ]
         Lf_pre = self.gather_leaf(pre_bases, leaf_at, L_pre, leaf_pre)
         Lf_post = self.gather_leaf(post_bases, leaf_at, L_post, leaf_post)
-        f_pre = self.leaf(leaf_pre, Lf_pre, one)
-        f_post = self.leaf(leaf_post, Lf_post, one)
+        return leaf_pre, leaf_post, Lf_pre, Lf_post
 
-        # preserved fields
-        k.assert_eq(f_pre.sroot, f_post.sroot)
-        k.assert_eq(f_pre.chash, f_post.chash)
-        # same key suffix: hexprefix items byte-identical
+    def _same_suffix(self, f_pre, f_post) -> None:
+        """Key-suffix preservation: hexprefix items byte-identical."""
+        k = self.k
+        one = self.c(1)
         k.assert_eq(f_pre.hp_total, f_post.hp_total)
         k.assert_eq(f_pre.hdr, f_post.hdr)
         m = k.select(k.lt(self.c(32), f_pre.hp_total), self.c(32), f_pre.hp_total)
@@ -559,7 +653,29 @@ class BindingEmitter:
             k.lt(self.c(33), f_pre.hp_total), f_pre.hp_b33, f_post.hp_b33
         )
 
-        # PI / preservation binding of nonce and balance
+    def update(
+        self,
+        uw: Optional[UpdateWitness],
+        root_in: int,
+        root_out: int,
+        pib: PiBinding,
+        pi_words: Optional[List[int]],
+    ) -> None:
+        """Emit the full path-pair verification for one account update.
+        `uw`/`pi_words` are None in program-only (verifier) mode."""
+        k = self.k
+        one = self.c(1)
+        leaf_pre, leaf_post, Lf_pre, Lf_post = self._path_pair(
+            uw, root_in, root_out
+        )
+        f_pre = self.leaf(leaf_pre, Lf_pre, one)
+        f_post = self.leaf(leaf_post, Lf_post, one)
+
+        # preserved fields (storage root handled by the PI binding below)
+        k.assert_eq(f_pre.chash, f_post.chash)
+        self._same_suffix(f_pre, f_post)
+
+        # PI / preservation binding of nonce, balance, storage root
         def pi(word: int) -> int:
             return k.load_pi(
                 word, pi_words[word] if pi_words is not None else None
@@ -572,6 +688,45 @@ class BindingEmitter:
             k.assert_eq(f_post.nonce, pi(pib.nonce_post_pi))
         k.assert_eq(f_pre.bal, pi(pib.bal_pre_pi))
         k.assert_eq(f_post.bal, pi(pib.bal_post_pi))
+        if pib.sroot_pre_pi is None:
+            k.assert_eq(f_pre.sroot, f_post.sroot)
+        else:
+            k.assert_eq(f_pre.sroot, pi(pib.sroot_pre_pi))
+            k.assert_eq(f_post.sroot, pi(pib.sroot_post_pi))
+
+    def slot_update(
+        self,
+        uw: Optional[UpdateWitness],
+        root_in: int,
+        root_out: int,
+        vpre_pi: int,
+        vpost_pi: int,
+        pi_words: Optional[List[int]],
+    ) -> None:
+        """Emit one STORAGE-slot update: path pair in the storage trie
+        with slot-leaf parsing, value pre/post bound to PI words.
+
+        Same envelope tier as accounts: the path's identity (nibbles ==
+        keccak(slot key)) stays host-checked; the slot must exist in both
+        tries with the same shape (no insert/delete restructuring —
+        zeroing a slot deletes its leaf and falls back to host binding).
+        """
+        k = self.k
+        one = self.c(1)
+        leaf_pre, leaf_post, Lf_pre, Lf_post = self._path_pair(
+            uw, root_in, root_out
+        )
+        f_pre = self.leaf_slot(leaf_pre, Lf_pre, one)
+        f_post = self.leaf_slot(leaf_post, Lf_post, one)
+        self._same_suffix(f_pre, f_post)
+
+        def pi(word: int) -> int:
+            return k.load_pi(
+                word, pi_words[word] if pi_words is not None else None
+            )
+
+        k.assert_eq(f_pre.val, pi(vpre_pi))
+        k.assert_eq(f_post.val, pi(vpost_pi))
 
     # leaf gather -------------------------------------------------------------
 

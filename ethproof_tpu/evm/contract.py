@@ -21,10 +21,12 @@ module supplies the transaction plumbing:
     miner fee, callee balance + storage-root update) and compare to
     `trie_roots_after.state_root`.
 
-Envelope (Unsupported otherwise): legacy txs, direct calls to an
-existing contract (no creation, no inner CALLs — the machine is
-single-context), successful or reverting frames (a reverted frame
-leaves storage untouched), machine opcode/keccak envelope per
+Envelope (Unsupported otherwise): type-0/1/2 txs (legacy, EIP-2930,
+EIP-1559 — fee split per evm/tx.py: sender pays the effective gas
+price, the miner receives the tip, the base fee is burned), direct
+calls to an existing contract (no creation, no inner CALLs — the
+machine is single-context), successful or reverting frames (a reverted
+frame leaves storage untouched), machine opcode/keccak envelope per
 tables/evm.py.
 """
 
@@ -43,7 +45,7 @@ from ..witness.mpt import decode_account, encode_account
 from ..witness.types import GenerationInputs
 from .kasm import le_word
 from .transfer import _acct_key, _empty_account
-from .tx import decode_legacy_tx
+from .tx import decode_tx
 
 EMPTY_CODE_HASH = keccak256(b"")
 
@@ -81,7 +83,13 @@ def _encode_slot_value(v: int) -> bytes:
 @dataclass
 class ContractCallProof:
     """Per-tx proof for a contract call: the machine multi-proof plus
-    the witness-binding data the (host) verifier re-derives."""
+    the witness-binding data the (host) verifier re-derives.
+
+    In-circuit binding (evm/cbinding.py): `binding_multi` is a second
+    kasm multi-proof whose kernel proves the storage-slot chain and the
+    (sender, callee, miner) account updates against the state-root PI
+    words; `cb_pi`/`cb_n_slots`/`cb_kshape` are its statement. When
+    None, the binding is host-checked only (documented fallback tier)."""
 
     multi: Optional[MultiProof]
     shape: E.EvmShape
@@ -94,6 +102,11 @@ class ContractCallProof:
     is_dummy: bool = False
     # succinct mode: the root machine proof subsumes `multi`
     root_proof: Optional[object] = None  # recursion.wrap.MachineProof
+    # in-circuit state binding (second multi-proof; None = host tier)
+    binding_multi: Optional[MultiProof] = None
+    cb_pi: Optional[List[int]] = None
+    cb_n_slots: int = 0
+    cb_kshape: Optional[object] = None  # binding.KernelShape
 
     @property
     def pi_words(self) -> List[int]:
@@ -108,7 +121,7 @@ def machine_inputs_for_tx(
 ) -> Tuple[E.EvmShape, E.EvmInputs, "E.EvmResult"]:
     """Decode the tx, discover touched slots, run the machine host
     interpreter. -> (shape, inputs, result)."""
-    tx = decode_legacy_tx(gi.signed_txn)
+    tx = decode_tx(gi.signed_txn)
     assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
         "EIP-155 chain id mismatch"
     )
@@ -129,15 +142,38 @@ def machine_inputs_for_tx(
             return 0
         return _decode_slot_value(strie.get(_slot_key(slot)))
 
+    # EIP-2929: access-list keys for the callee are pre-warmed
+    warm_pre = tuple(
+        int.from_bytes(k, "big")
+        for addr, keys in tx.access_list
+        if addr == tx.to
+        for k in keys
+    )
     storage_pre: Dict[int, int] = {}
     caller = int.from_bytes(sender, "big")
     while True:
         try:
             return E.discover_and_execute(
-                code, tx.data, caller, tx.value, storage_pre, log_rows
+                code, tx.data, caller, tx.value, storage_pre, log_rows,
+                warm_pre=warm_pre,
             )
         except E.UnknownStorageKey as miss:
             storage_pre[miss.key] = slot_pre(miss.key)
+
+
+def consensus_gas_used(gi: GenerationInputs, res=None) -> int:
+    """Re-derive the tx's consensus gas from the witness alone: intrinsic
+    (EIP-2028/2930) + the machine frame's metered execution gas, minus
+    the EIP-3529-capped refund. Matches gas_used_after - gas_used_before
+    on a consensus-valid witness."""
+    from .gas import intrinsic_gas, tx_gas_used
+
+    tx = decode_tx(gi.signed_txn)
+    if res is None:
+        _, _, res = machine_inputs_for_tx(gi)
+    return tx_gas_used(
+        intrinsic_gas(tx), res.gas_used, res.gas_refund, res.success
+    )
 
 
 def prove_contract_call(
@@ -145,12 +181,21 @@ def prove_contract_call(
     config: StarkConfig,
     sizes: Optional[A.TableSizes] = None,
     log_rows: int = 10,
+    binding: object = "auto",
+    binding_sizes: Optional[A.TableSizes] = None,
 ) -> ContractCallProof:
+    """binding: "auto" (in-circuit state binding when the witness fits
+    the envelope; silent host-checked fallback otherwise), None
+    (host-checked only), a binding.KernelShape or "require" (in-circuit
+    required — Unsupported/CircuitSizeError propagate)."""
     shape, inputs, res = machine_inputs_for_tx(gi, log_rows)
-    tx = decode_legacy_tx(gi.signed_txn)
+    tx = decode_tx(gi.signed_txn)
     sender = tx.sender()
     miner = gi.block_metadata.block_beneficiary
     gas_used = gi.gas_used_after - gi.gas_used_before
+    assert gas_used == consensus_gas_used(gi, res), (
+        "witness gas_used diverges from consensus gas accounting"
+    )
     if sizes is None:
         counts = A.evm_table_counts(shape, res)
         sizes = A.TableSizes(
@@ -164,6 +209,13 @@ def prove_contract_call(
         )
     machine = E.EvmStark(shape)
     proof = A.prove_evm_tables(machine, res, sizes, config)
+    cb_multi = cb_pi = cb_kshape = None
+    cb_n_slots = 0
+    if binding is not None:
+        cb_multi, cb_pi, cb_n_slots, cb_kshape = _prove_binding(
+            gi, res.pi_words, shape, sender, tx.to, miner, gas_used,
+            config, binding, binding_sizes,
+        )
     ccp = ContractCallProof(
         multi=proof,
         shape=shape,
@@ -173,9 +225,78 @@ def prove_contract_call(
         to=tx.to,
         miner=miner,
         gas_used=gas_used,
+        binding_multi=cb_multi,
+        cb_pi=cb_pi,
+        cb_n_slots=cb_n_slots,
+        cb_kshape=cb_kshape,
     )
     assert check_contract_binding(ccp), "witness binding failed"
     return ccp
+
+
+def _binding_table_sizes(counts) -> A.TableSizes:
+    """Fit the binding kernel's own multi-proof sizes (floors match the
+    transfer binding's slow-tier shapes: 2^16 arithmetic range table for
+    digest comparisons)."""
+
+    def lg(n, floor):
+        return max(floor, (max(n, 1) - 1).bit_length())
+
+    return A.TableSizes(
+        cpu=lg(counts["cpu"], 11),
+        arithmetic=16,
+        logic=lg(counts["logic"], 4),
+        bytepacking=9,
+        memory=lg(counts["memory"], 13),
+        keccak=lg(counts["keccak"], 5),
+        keccak_sponge=lg(counts["keccak_sponge"], 8),
+    )
+
+
+def _prove_binding(
+    gi, machine_pi, mshape, sender, to, miner, gas_used, config,
+    binding, binding_sizes,
+):
+    """Build + prove the in-circuit state-binding proof (evm/cbinding.py);
+    returns (None, None, 0, None) on a permitted fallback."""
+    from ..tables.all import CircuitSizeError, kernel_counts, prove_all_tables
+    from ..tables.cpu import CpuStark
+    from . import cbinding as CB
+    from .binding import PRODUCTION_SHAPE, KernelShape
+    from .binding import Unsupported as BUnsupported
+
+    if isinstance(binding, KernelShape):
+        kshape, required = binding, True
+    elif binding == "require":
+        kshape, required = PRODUCTION_SHAPE, True
+    else:
+        kshape, required = PRODUCTION_SHAPE, False
+    try:
+        pi = CB.expected_cb_pi(gi, machine_pi, mshape, sender, to, miner, gas_used)
+        bw = CB.build_contract_binding_witness(
+            gi, machine_pi, mshape, sender, to, miner, pi, kshape
+        )
+        n_slots = len(bw.slots)
+        kasm = CB.build_contract_kernel(n_slots, kshape, pi, bw)
+        counts = kernel_counts(kasm.prog, kasm.hash_requests())
+        fitted = binding_sizes or _binding_table_sizes(counts)
+        for name, log in (
+            ("cpu", fitted.cpu), ("arithmetic", fitted.arithmetic),
+            ("logic", fitted.logic), ("memory", fitted.memory),
+            ("keccak", fitted.keccak), ("keccak_sponge", fitted.keccak_sponge),
+        ):
+            if counts[name] > (1 << log):
+                raise CircuitSizeError(f"{name} needs {counts[name]} > 2^{log}")
+        cpu = CpuStark(kasm.prog, CB.cb_num_pi_words(n_slots))
+        multi, _ = prove_all_tables(
+            cpu, pi, fitted, config,
+            hash_requests=kasm.hash_requests(), kernel_witness=kasm.witness,
+        )
+        return multi, pi, n_slots, kshape
+    except (BUnsupported, CircuitSizeError):
+        if required:
+            raise
+        return None, None, 0, None
 
 
 def expected_machine_pi(
@@ -186,7 +307,7 @@ def expected_machine_pi(
     callvalue, calldata words, codehash — and storage keys/pre-values
     checked against the callee's storage trie. Post-values and success
     are read from the proof's PI and validated by the trie binding."""
-    tx = decode_legacy_tx(gi.signed_txn)
+    tx = decode_tx(gi.signed_txn)
     sender = tx.sender()
     acct = decode_account(gi.tries.state_trie.get(_acct_key(tx.to)))
     code = gi.contract_code[acct["code_hash"]]
@@ -220,14 +341,25 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
         return False
     if pi[: len(head)] != head or sender != proof.sender or to != proof.to:
         return False
-    # storage keys strictly increasing + pre-values match the trie
+    tx = decode_tx(gi.signed_txn)
+    # storage keys strictly increasing, pre-values match the trie, warm
+    # flags match the tx access list (EIP-2929 pre-warming)
     hashed_addr = keccak256(to)
     strie = _storage_trie(gi, hashed_addr)
+    warm_keys = {
+        int.from_bytes(k, "big")
+        for addr, keys_ in tx.access_list
+        if addr == to
+        for k in keys_
+    }
     keys = []
     for i in range(shape.n_skeys):
-        k = pi[lay["storage"] + 3 * i]
-        vpre = pi[lay["storage"] + 3 * i + 1]
+        k = pi[lay["storage"] + 4 * i]
+        warm0 = pi[lay["storage"] + 4 * i + 1]
+        vpre = pi[lay["storage"] + 4 * i + 2]
         keys.append(k)
+        if warm0 != (1 if k in warm_keys else 0):
+            return False
         expect = (
             _decode_slot_value(strie.get(_slot_key(k))) if strie is not None else 0
         )
@@ -235,13 +367,34 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
             return False
     if any(b <= a for a, b in zip(keys, keys[1:])):
         return False
+    # consensus gas: the witness's claimed gas delta must equal the
+    # re-derived intrinsic + capped-refund total, and the proof's PI
+    # must carry the same frame gas/refund the interpreter re-derives
+    from .gas import intrinsic_gas, tx_gas_used
+    from ..gf import field_host as fh
+
+    try:
+        _, _, res = machine_inputs_for_tx(gi)
+        if proof.gas_used != gi.gas_used_after - gi.gas_used_before:
+            return False
+        if proof.gas_used != tx_gas_used(
+            intrinsic_gas(tx), res.gas_used, res.gas_refund, res.success
+        ):
+            return False
+        if pi[lay["gas"]] != res.gas_used:
+            return False
+        if pi[lay["refund"]] != res.gas_refund % fh.P:
+            return False
+    except Exception:
+        return False
     success = pi[lay["success"]]
     # rebuild the post state root
     state = gi.tries.state_trie.copy()
     if gi.txn_number_before == 0 and state.hash() != gi.checkpoint_state_trie_root:
         return False
-    tx = decode_legacy_tx(gi.signed_txn)
-    fee = tx.gas_price * proof.gas_used
+    base_fee = gi.block_metadata.block_base_fee
+    fee = tx.effective_gas_price(base_fee) * proof.gas_used
+    tip = tx.miner_tip_per_gas(base_fee) * proof.gas_used
     s_acc = decode_account(state.get(_acct_key(sender)))
     if tx.nonce != s_acc["nonce"]:
         return False
@@ -268,8 +421,8 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
 
             st = PartialTrie()
         for i in range(shape.n_skeys):
-            k = pi[lay["storage"] + 3 * i]
-            vpost = pi[lay["storage"] + 3 * i + 2]
+            k = pi[lay["storage"] + 4 * i]
+            vpost = pi[lay["storage"] + 4 * i + 3]
             if vpost == 0:
                 st.delete(_slot_key(k))
             else:
@@ -277,7 +430,7 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
         c_acc["storage_root"] = st.hash()
     put_acct(to, c_acc)
     m_acc = get_acct(proof.miner)
-    m_acc["balance"] += fee
+    m_acc["balance"] += tip  # EIP-1559: base_fee * gas is burned
     put_acct(proof.miner, m_acc)
     if state.hash() != gi.trie_roots_after.state_root:
         return False
@@ -287,13 +440,46 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
     return check_receipts_binding(proof)
 
 
+def verify_binding_proof(proof: ContractCallProof, config: StarkConfig) -> bool:
+    """Verify the in-circuit state-binding proof: its PI words must
+    re-derive from the witness + the machine's PI (word equality — this
+    is the cross-proof link), and the kasm multi-proof must verify
+    against the program rebuilt from the statement (n_slots, kshape)."""
+    from ..tables.all import verify_all_tables
+    from ..tables.cpu import CpuStark
+    from . import cbinding as CB
+    from .binding import Unsupported as BUnsupported
+
+    if proof.binding_multi is None or proof.cb_pi is None:
+        return False
+    try:
+        expected = CB.expected_cb_pi(
+            proof.gen_inputs, proof.machine_pi, proof.shape,
+            proof.sender, proof.to, proof.miner, proof.gas_used,
+        )
+    except Exception:
+        return False
+    if expected != proof.cb_pi:
+        return False
+    if proof.cb_n_slots != (len(expected) - CB.CB_SLOTS) // 2:
+        return False
+    kasm = CB.build_contract_kernel(proof.cb_n_slots, proof.cb_kshape)
+    cpu = CpuStark(kasm.prog, CB.cb_num_pi_words(proof.cb_n_slots))
+    return verify_all_tables(cpu, proof.cb_pi, proof.binding_multi, config)
+
+
 def verify_contract_call(proof: ContractCallProof, config: StarkConfig) -> bool:
-    """Full verification: machine STARK + witness binding."""
+    """Full verification: machine STARK + state binding (in-circuit when
+    the proof carries a binding multi-proof; the host re-derivation runs
+    in both cases as the documented cross-check tier)."""
     if proof.multi is None:
         return False
     machine = E.EvmStark(proof.shape)
     if not A.verify_evm_tables(machine, proof.machine_pi, proof.multi, config):
         return False
+    if proof.binding_multi is not None:
+        if not verify_binding_proof(proof, config):
+            return False
     return check_contract_binding(proof)
 
 
@@ -340,7 +526,7 @@ def expected_receipt(proof: ContractCallProof) -> bytes:
     for addr, topics, _data in logs:
         entries.append(addr)
         entries.extend(topics)
-    return rlp.encode(
+    body = rlp.encode(
         [
             rlp.int_to_bytes(int(success)),
             rlp.int_to_bytes(gi.gas_used_after),
@@ -348,6 +534,9 @@ def expected_receipt(proof: ContractCallProof) -> bytes:
             [[a, t, d] for a, t, d in logs],
         ]
     )
+    # typed txs (EIP-2718): the receipts-trie value is type || rlp(receipt)
+    tx = decode_tx(gi.signed_txn)
+    return (bytes([tx.tx_type]) + body) if tx.tx_type else body
 
 
 def check_receipts_binding(proof: ContractCallProof) -> bool:

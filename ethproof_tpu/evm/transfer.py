@@ -47,7 +47,7 @@ from ..trie.nibbles import Nibbles
 from ..trie.trie import PartialTrie
 from ..witness.mpt import decode_account, encode_account
 from ..witness.types import GenerationInputs
-from .tx import LegacyTx, decode_legacy_tx
+from .tx import decode_tx
 
 # public-input word layout
 PI_SENDER_NONCE_PRE = 0
@@ -65,7 +65,13 @@ PI_MINER_BAL_POST = 9
 # matching the reference's public values (ops/src/lib.rs:52)
 PI_STATE_ROOT_PRE = 10
 PI_STATE_ROOT_POST = 11
-NUM_PI_WORDS = 12
+# EIP-1559 fee split: the sender pays FEE = effective_gas_price * gas;
+# the miner receives TIP = (effective_gas_price - base_fee) * gas; the
+# difference is burned. Pre-London witnesses (base_fee = 0) have
+# TIP == FEE. The kernel asserts TIP <= FEE; the verifier re-derives
+# both from the tx + block metadata (derive_pi_words).
+PI_TIP = 12
+NUM_PI_WORDS = 13
 
 
 # party-overlap patterns: (sender==recipient, sender==miner, recipient==miner)
@@ -143,36 +149,38 @@ def build_kernel(
     m_bal = e.load_pi(PI_MINER_BAL_PRE, pv[PI_MINER_BAL_PRE])
     value = e.load_pi(PI_VALUE, pv[PI_VALUE])
     fee = e.load_pi(PI_FEE, pv[PI_FEE])
+    tip = e.load_pi(PI_TIP, pv[PI_TIP])
     one = e.const(1)
     nonce_post = e.add(s_nonce, one)
     e.assert0(e.lt(s_bal, value))  # bal >= value
     after_value = e.sub(s_bal, value)
     e.assert0(e.lt(after_value, fee))  # bal - value >= fee
+    e.assert0(e.lt(fee, tip))  # tip <= fee (the rest is burned)
     deducted = e.sub(after_value, fee)  # sender after full deduction
 
     if overlap == OVERLAP_DISTINCT:
         s_post = deducted
         r_post = e.add(r_bal, value)
-        m_post = e.add(m_bal, fee)
+        m_post = e.add(m_bal, tip)
     elif overlap == OVERLAP_S_EQ_R:
         e.assert_eq(r_bal, s_bal)  # duplicated pre word
         s_post = e.add(deducted, value)
         r_post = s_post
-        m_post = e.add(m_bal, fee)
+        m_post = e.add(m_bal, tip)
     elif overlap == OVERLAP_S_EQ_M:
         e.assert_eq(m_bal, s_bal)
-        s_post = e.add(deducted, fee)
+        s_post = e.add(deducted, tip)
         r_post = e.add(r_bal, value)
         m_post = s_post
     elif overlap == OVERLAP_R_EQ_M:
         e.assert_eq(m_bal, r_bal)
         s_post = deducted
-        r_post = e.add(e.add(r_bal, value), fee)
+        r_post = e.add(e.add(r_bal, value), tip)
         m_post = r_post
     elif overlap == OVERLAP_ALL:
         e.assert_eq(r_bal, s_bal)
         e.assert_eq(m_bal, s_bal)
-        s_post = e.add(e.add(deducted, value), fee)
+        s_post = e.add(e.add(deducted, value), tip)
         r_post = s_post
         m_post = s_post
     else:
@@ -252,9 +260,9 @@ def derive_pi_words(gi: GenerationInputs) -> Tuple[List[int], bytes, bytes, byte
     to the miner — later credits see earlier ones. Overlapped roles'
     PI words duplicate the single account's values (kernel-asserted)."""
     assert gi.signed_txn is not None, "dummy payloads have no kernel run"
-    tx = decode_legacy_tx(gi.signed_txn)
+    tx = decode_tx(gi.signed_txn)
     assert len(tx.to) == 20, "contract creation is not a transfer"
-    # EIP-155: a replay-protected tx must target this chain
+    # EIP-155/2930/1559: a replay-protected tx must target this chain
     assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
         f"tx chain id {tx.chain_id} != block chain id "
         f"{gi.block_metadata.block_chain_id}"
@@ -270,7 +278,15 @@ def derive_pi_words(gi: GenerationInputs) -> Tuple[List[int], bytes, bytes, byte
 
     s_acc = decode_account(state.get(_acct_key(sender)))
     gas_used = gi.gas_used_after - gi.gas_used_before
-    fee = tx.gas_price * gas_used
+    # consensus: an EOA transfer runs no code — gas is exactly intrinsic
+    from .gas import intrinsic_gas
+
+    assert gas_used == intrinsic_gas(tx), (
+        f"transfer gas_used {gas_used} != intrinsic {intrinsic_gas(tx)}"
+    )
+    base_fee = gi.block_metadata.block_base_fee
+    fee = tx.effective_gas_price(base_fee) * gas_used
+    tip = tx.miner_tip_per_gas(base_fee) * gas_used
     assert tx.nonce == s_acc["nonce"], "tx nonce mismatch"
 
     balances = {sender: s_acc["balance"]}
@@ -283,10 +299,11 @@ def derive_pi_words(gi: GenerationInputs) -> Tuple[List[int], bytes, bytes, byte
     pi[PI_MINER_BAL_PRE] = balances[miner]
     pi[PI_VALUE] = tx.value
     pi[PI_FEE] = fee
+    pi[PI_TIP] = tip
     assert balances[sender] >= tx.value + fee, "insufficient balance"
     balances[sender] -= tx.value + fee
     balances[recipient] += tx.value
-    balances[miner] += fee
+    balances[miner] += tip
     pi[PI_SENDER_NONCE_POST] = s_acc["nonce"] + 1
     pi[PI_SENDER_BAL_POST] = balances[sender]
     pi[PI_RECV_BAL_POST] = balances[recipient]

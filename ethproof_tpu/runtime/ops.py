@@ -120,11 +120,11 @@ def _callee_has_code(gi: GenerationInputs) -> bool:
     (evm/contract.py); otherwise it is a value transfer."""
     from ..evm.contract import EMPTY_CODE_HASH
     from ..evm.transfer import _acct_key
-    from ..evm.tx import decode_legacy_tx
+    from ..evm.tx import decode_tx
     from ..witness.mpt import decode_account
 
     try:
-        tx = decode_legacy_tx(gi.signed_txn)
+        tx = decode_tx(gi.signed_txn)
         if len(tx.to) != 20:
             return False
         raw = gi.tries.state_trie.get(_acct_key(tx.to))

@@ -234,6 +234,18 @@ def contract_proof_to_json(p) -> dict:
         "to": p.to.hex(),
         "miner": p.miner.hex(),
         "gas_used": p.gas_used,
+        "binding_multi": (
+            [stark_proof_to_json(sp) for sp in p.binding_multi.proofs]
+            if p.binding_multi is not None
+            else None
+        ),
+        "cb_pi": [str(w) for w in p.cb_pi] if p.cb_pi is not None else None,
+        "cb_n_slots": p.cb_n_slots,
+        "cb_kshape": (
+            {"levels": p.cb_kshape.levels, "node_words": p.cb_kshape.node_words}
+            if p.cb_kshape is not None
+            else None
+        ),
     }
 
 
@@ -258,7 +270,27 @@ def contract_proof_from_json(d: dict):
             if d.get("root_proof") is not None
             else None
         ),
+        binding_multi=(
+            MultiProof(
+                proofs=[stark_proof_from_json(x) for x in d["binding_multi"]]
+            )
+            if d.get("binding_multi") is not None
+            else None
+        ),
+        cb_pi=(
+            [int(w) for w in d["cb_pi"]] if d.get("cb_pi") is not None else None
+        ),
+        cb_n_slots=int(d.get("cb_n_slots", 0)),
+        cb_kshape=_kshape_from_json(d.get("cb_kshape")),
     )
+
+
+def _kshape_from_json(d):
+    if d is None:
+        return None
+    from ..evm.binding import KernelShape
+
+    return KernelShape(levels=int(d["levels"]), node_words=int(d["node_words"]))
 
 
 def aggregatable_to_json(p) -> dict:

@@ -373,7 +373,7 @@ def verify_evm_tables(
 
     lay = machine.shape.pi_layout
     keys = [
-        pi_words[lay["storage"] + 3 * i] for i in range(machine.shape.n_skeys)
+        pi_words[lay["storage"] + 4 * i] for i in range(machine.shape.n_skeys)
     ]
     if any(b <= a for a, b in zip(keys, keys[1:])):
         return False  # directory keys must be strictly increasing

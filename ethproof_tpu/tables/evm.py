@@ -31,7 +31,10 @@ length is dynamic via a sticky HALTED bit):
           input word;
   EXEC    fetch code[PC] (memory channel 0), decode via a one-hot
           opcode bank, execute; STOP/RETURN/REVERT set HALTED (sticky)
-          and bind the SUCCESS public input;
+          and bind the SUCCESS public input; KECCAK256 expands into
+          KPACK staging micro-rows + a KDIG digest row; SLOAD/SSTORE
+          take a continuation row (S_SLX/S_SSX) for the warm-flag
+          journal and the SSTORE journal writes;
   FINAL   (last rows, timestamps after everything) read the storage
           journal's final values and bind them to the post-value public
           inputs; requires HALTED == 1.
@@ -46,6 +49,8 @@ Memory segment conventions (per-address value shape):
   SEG_JUMPDEST     0/1 per code address
   SEG_SKEYS        one word per address (storage key directory)
   SEG_SVALS        one word per address (storage journal values)
+  SEG_SWARM        0/1 per storage index (EIP-2929 warm flags)
+  SEG_SORIG        one word per storage index (EIP-2200 originals)
 
 Endianness: EVM values are big-endian byte strings; words here are 16
 little-endian 16-bit limbs. The 32-byte REVB bank mediates: a value
@@ -55,22 +60,33 @@ word V and a byte-stream image R of the same bytes satisfy
 so PUSH/MLOAD/MSTORE/CALLDATALOAD route through one BytePacking CTL
 (little-endian packed limbs = R) while the stack value is V.
 
+Gas (in-circuit): a running GAS column charges consensus costs per
+cycle — static opcode costs, 30 + 6*ceil(len/32) for KECCAK256 (word
+count via a division witness), shape-static LOG costs, quadratic memory
+expansion (high-water mark MW + floor-division witnesses), EIP-2929
+cold/warm storage via a SEG_SWARM journal (two-row SLOAD/SSTORE), and
+EIP-2200 net-metered SSTORE with the EIP-3529 REFUND counter (chunked
+equality-predicate witnesses against SEG_SORIG). GAS and REFUND bind to
+public inputs on the last row; evm/contract.py adds the intrinsic cost
+and the refund cap and checks the witness's gas delta (evm/gas.py).
+
 Documented envelope (host generator raises Unsupported outside it; each
 item is a completeness gap, never a soundness gap):
   - single call context (the proved frame is the tx's direct call);
-  - no gas accounting in-circuit (host-side only for now);
-  - KECCAK256 lengths even and > 0; memory offsets < 2^32;
   - REVERT halts with success=0 but state rollback is not replayed
     (the outer kernel must not use the journal of a reverted frame);
-  - LOG* pops its operands; the event payload binds to receipts
-    host-side (receipts trie is maintained by the witness front-end);
+  - LOG* pops its operands; topics + data bind to per-log public
+    inputs (receipts re-assembled and root-checked by evm/contract.py);
   - RETURN data is popped but not exposed;
   - the 1024-slot EVM stack-depth limit is not enforced (execution is
     deterministic given code+calldata, so this diverges from consensus
     only for programs that legitimately overflow — the host generator
     is the completeness gate);
-  - CALLDATALOAD/MLOAD offsets >= 2^32 are Unsupported rather than
-    EVM's read-zeros semantics.
+  - memory high-water mark < 2^16 words (2 MB; ~8.5M expansion gas, so
+    consensus-reachable traces fit) — larger offsets are Unsupported
+    rather than EVM's read-zeros semantics; KECCAK256 length < 2^16;
+  - running out of gas mid-frame is not modelled (an OOG tx is outside
+    the envelope; the witness gas limit is assumed sufficient).
 """
 
 from __future__ import annotations
@@ -118,6 +134,17 @@ _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
 
 _LOGIC = {AND_: OP_AND, OR_: OP_OR, XOR_: OP_XOR}
 
+# static gas per simple opcode (consensus; evm/gas.py has the dynamic
+# parts: memory expansion, keccak words, logs, EIP-2929/2200 storage)
+STATIC_GAS = {
+    STOP: 0, ADD: 3, MUL: 5, SUB: 3, DIV: 5, MOD: 5, ADDMOD: 8, MULMOD: 8,
+    LT: 3, GT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3, XOR_: 3, NOT_: 3,
+    BYTE_: 3, SHL: 3, SHR: 3, KECCAK256: 0,
+    ADDRESS: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3, CALLDATASIZE: 2,
+    POP: 2, MLOAD: 3, MSTORE: 3, SLOAD: 0, SSTORE: 0,
+    JUMP: 8, JUMPI: 10, PC_OP: 2, JUMPDEST: 1, RETURN: 0, REVERT: 0,
+}
+
 # memory segments (KERNEL_CTX/SEG 0/1 belong to the kasm kernel)
 SEG_STACK = 2
 SEG_CODE = 3
@@ -128,6 +155,8 @@ SEG_HASH = 7
 SEG_JUMPDEST = 8
 SEG_SKEYS = 9
 SEG_SVALS = 10
+SEG_SWARM = 11  # EIP-2929 warm flags per storage index (0/1)
+SEG_SORIG = 12  # EIP-2200 original (pre-tx) values per storage index
 
 EVM_CTX = 0
 
@@ -216,20 +245,25 @@ class EvmShape:
         return self.code_len
 
     # public input words: CALLER, CALLVALUE, CALLDATA..., CODEHASH,
-    # per-key (KEY, VPRE, VPOST), per-log (topics..., data word), SUCCESS
+    # per-key (KEY, WARM0, VPRE, VPOST) — WARM0 is the EIP-2929
+    # access-list pre-warm flag — per-log (topics..., data word),
+    # GAS (frame execution gas, in-circuit metered), REFUND (EIP-3529
+    # counter at halt), SUCCESS
     @property
     def pi_layout(self) -> Dict[str, int]:
         lay = {"caller": 0, "callvalue": 1, "calldata": 2}
         at = 2 + self.n_calldata_words
         lay["codehash"] = at
         lay["storage"] = at + 1
-        at = at + 1 + 3 * self.n_skeys
+        at = at + 1 + 4 * self.n_skeys
         lay["logs"] = at
         lay["log_words"] = [None] * len(self.log_shapes)
         for i, (nt, _dl) in enumerate(self.log_shapes):
             lay["log_words"][i] = at
             at += nt + 1
-        lay["success"] = at
+        lay["gas"] = at
+        lay["refund"] = at + 1
+        lay["success"] = at + 2
         return lay
 
     @property
@@ -254,6 +288,57 @@ SCAN_COMB = _c.one()  # byte + 256*PUSHLEN + 2^16*IS_JD (logUp-bound)
 SIDX = _c.one()  # storage journal index witness
 LOGIDX = _c.one()  # count of completed LOG events so far
 S_LOGX = _c.one()  # internal: LOG continuation row (topics 3/4)
+S_SLX = _c.one()  # internal: SLOAD continuation row (warm-flag journal)
+S_SSX = _c.one()  # internal: SSTORE continuation row (journal writes)
+# -- in-circuit gas (consensus frame gas; see evm/gas.py for the rules)
+GAS = _c.one()  # running execution gas (first row 0, bound to PI at end)
+REFUND = _c.one()  # running EIP-3529 refund counter (bound to PI at end)
+MW = _c.one()  # memory high-water mark, in 32-byte words (< 2^16)
+CQ = _c.one()  # C(MW) = 3*MW + floor(MW^2/512) (memory expansion cost)
+NW = _c.one()  # touch rows: ceil((offset + length)/32)
+NW2 = _c.one()  # touch rows: NW^2 (degree reducer for the quad witness)
+GROW = _c.one()  # touch rows: 1 iff NW > MW
+TCH = _c.one()  # 1 on rows that touch SEG_MAIN with nonzero length
+RB0 = _c.one()  # |NW - MW| comparison witness, low byte (byte-checked)
+RB1 = _c.one()  # comparison witness, high byte
+NB0 = _c.one()  # NW low byte (bounds NW < 2^16)
+NB1 = _c.one()  # NW high byte
+RQB = _c.one()  # quad remainder low byte: NW2 = 512*(CQ'-3NW) + RQ
+RQBIT = _c.one()  # quad remainder bit 8 (RQ = RQB + 256*RQBIT < 512)
+PB = _c.many(5)  # pad bits: 32*NW = offset + length + pad, pad < 32
+# -- SSTORE net-metering predicates (EIP-2200/3529). Words compared as
+# six 48-bit chunks of their canonical 16-bit limbs (injective mod p).
+# E*: equality bit; S*: one-hot nonzero-chunk pick (sums to gate*(1-E));
+# D*: picked chunk difference; I*: its inverse.
+E_VC = _c.one()  # value == current
+D_VC = _c.one()
+I_VC = _c.one()
+S_VC = _c.many(6)
+E_CO = _c.one()  # current == original
+D_CO = _c.one()
+I_CO = _c.one()
+S_CO = _c.many(6)
+E_VO = _c.one()  # value == original
+D_VO = _c.one()
+I_VO = _c.one()
+S_VO = _c.many(6)
+EO0 = _c.one()  # original == 0 (iszero over canonical limbs)
+SO0 = _c.one()
+IO0 = _c.one()
+EV0 = _c.one()  # value == 0
+SV0 = _c.one()
+IV0 = _c.one()
+P1 = _c.one()  # sel[SSTORE]*(1-E_VC)*E_CO (clean-slot branch gate)
+P2 = _c.one()  # sel[SSTORE]*(1-E_VC)*(1-E_CO) (dirty-slot branch gate)
+# -- multi-block KECCAK256 staging (sponge layout: 4x32B + 1x8B words
+# per 136-byte block, mirroring the code-hash repack windows)
+KP = _c.many(5)  # one-hot phase within the current block (kpack rows)
+FULLC = _c.one()  # 1 = full chunk (cap bytes), 0 = final partial chunk
+CSW = _c.one()  # chunk size staged this row (min(cap, R2); 0 off kpack)
+KBLK = _c.one()  # completed-block counter within the current hash
+KLEN = _c.one()  # message length, carried from setup through the digest
+KWORDS = _c.one()  # setup row: ceil(len/32) (gas word cost witness)
+KPD = _c.many(5)  # setup row: pad bits for 32*KWORDS = len + pad
 LSEL = _c.many(4)  # one-hot over the log index on LOG/LOGX rows (MAX_LOGS)
 Z = _c.one()  # iszero/eq/jumpi/scan zero-flag (1 on rows that bind no ZS)
 ZINV = _c.one()  # inverse witness for the nonzero branch
@@ -356,6 +441,8 @@ class EvmInputs:
     caller: int
     callvalue: int
     storage_pre: Dict[int, int]  # touched key -> pre value (sorted by key)
+    # EIP-2929 pre-warmed slots (tx access-list keys for this contract)
+    warm_pre: Tuple[int, ...] = ()
 
 
 @dataclass
@@ -371,6 +458,8 @@ class EvmResult:
     success: int
     logs: List[Tuple[List[int], bytes]]  # (topics, data) — host-side receipts
     return_data: bytes
+    gas_used: int = 0  # frame execution gas (evm/gas.py; excl. intrinsic)
+    gas_refund: int = 0  # EIP-3529 refund counter (uncapped, pre-revert)
 
 def _word_limbs(v: int) -> List[int]:
     return int_to_limbs(v)
@@ -441,7 +530,8 @@ class _Emitter:
 
     def finish_mults(self) -> None:
         assert self.n >= 256, "byte range check needs >= 2^8 rows"
-        revb_vals = self.tr[np.asarray(REVB, dtype=np.intp)]
+        byte_cols = list(REVB) + [RB0, RB1, NB0, NB1, RQB]
+        revb_vals = self.tr[np.asarray(byte_cols, dtype=np.intp)]
         bc = np.bincount(revb_vals.ravel().astype(np.int64), minlength=256)
         assert bc.shape[0] <= 256 or bc[256:].sum() == 0
         # fixed byte counter is min(row, 255): row b < 256 holds value b
@@ -479,9 +569,11 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
 
     code_padded = code + b"\0" * (len(code) % 2)
     codehash = _le_word(keccak256(code_padded))
+    warm0 = {k: (1 if k in inputs.warm_pre else 0) for k in skeys}
     pi_words = [inputs.caller, inputs.callvalue] + cd_words + [codehash]
     for k in skeys:
-        pi_words += [k, inputs.storage_pre[k], 0]  # vpost patched below
+        # (key, warm0, vpre, vpost) — vpost patched below
+        pi_words += [k, warm0[k], inputs.storage_pre[k], 0]
     for nt, _dl in shape.log_shapes:
         pi_words += [0] * (nt + 1)  # topics + data word, patched on LOG
 
@@ -494,10 +586,12 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         em.pack(r, 0, SEG_CALLDATA, 32 * w, data)
         em.revb(r, cd_words[w].to_bytes(32, "big"))
         r += 1
-    # -- SVINIT: storage directory + pre values
+    # -- SVINIT: storage directory, pre values, warm flags, originals
     for i, k in enumerate(skeys):
         em.chan(r, 1, 0, SEG_SKEYS, i, k)
         em.chan(r, 2, 0, SEG_SVALS, i, inputs.storage_pre[k])
+        em.chan(r, 3, 0, SEG_SWARM, i, warm0[k])
+        em.chan(r, 4, 0, SEG_SORIG, i, inputs.storage_pre[k])
         r += 1
     # -- REPACK: one row per staged word — a bytepacking window WRITES the
     # code bytes; channel 1 writes the little-endian word to SEG_CODE_PACKED
@@ -553,6 +647,29 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
 
     exec_start = r
     # -- EXEC ------------------------------------------------------------------
+    from ..evm.gas import GasMeter
+    from ..gf import field_host as fh
+
+    meter = GasMeter(
+        original=dict(inputs.storage_pre), warm=set(inputs.warm_pre)
+    )
+    # per-row witness bookkeeping for the in-circuit gas columns (the
+    # GAS/REFUND/MW/CQ columns and the touch-row quotient witnesses are
+    # derived from these after the loop — vectorized, O(n) numpy)
+    gd = np.zeros(em.n, dtype=np.uint64)  # per-row gas delta
+    rdl = np.zeros(em.n, dtype=np.int64)  # per-row refund delta (signed)
+    tnw = np.zeros(em.n, dtype=np.uint64)  # touch rows: NW (0 = no touch)
+    tofl = np.zeros(em.n, dtype=np.uint64)  # touch rows: offset + length
+
+    def touch(row: int, ofs: int, ln: int) -> None:
+        if ln == 0:
+            return
+        nw_ = (ofs + ln + 31) // 32
+        if nw_ >= 1 << 16:
+            raise Unsupported("memory high-water mark beyond 2^16 words")
+        tnw[row] = nw_
+        tofl[row] = ofs + ln
+
     stack: List[int] = []
     evm_mem: Dict[int, int] = {}  # byte-addressed
     storage = dict(inputs.storage_pre)
@@ -578,11 +695,18 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         em.chan(row, ch, 1, SEG_STACK, sp, v)
         return v
 
+    # with no FINAL rows, reserve one padding row after the halt row so
+    # the halt row's gas transition (charged on row -> row+1) exists
+    budget_end = exec_end - (1 if n_final == 0 else 0)
     halted = False
     while not halted:
-        if r >= exec_end:
-            raise Unsupported(f"execution needs more than {exec_end - exec_start} rows")
+        if r >= budget_end:
+            raise Unsupported(
+                f"execution needs more than {budget_end - exec_start} rows"
+            )
         op = code[pc] if pc < len(code) else STOP
+        op_row = r
+        u0, rf0 = meter.used, meter.refund
         tr[PC, r] = pc
         tr[SP, r] = sp
         tr[HP, r] = hp
@@ -591,6 +715,13 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         if op in SEL:
             tr[SEL[op], r] = 1
         adv = 1
+        if op in STATIC_GAS:
+            meter.charge(STATIC_GAS[op])
+        elif PUSH0 <= op <= PUSH0 + 32:
+            meter.charge(2 if op == PUSH0 else 3)
+        elif DUP1 <= op <= DUP1 + 15 or SWAP1 <= op <= SWAP1 + 15:
+            meter.charge(3)
+        # LOG* is fully dynamic — charged in its branch
 
         if op == STOP:
             halted = True
@@ -710,8 +841,9 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 raise Unsupported(f"more than {MAX_LOGS} LOG events")
             if ln > 32:
                 raise Unsupported("LOG data longer than 32 bytes")
-            if ofs >= 1 << 32:
-                raise Unsupported("memory offset >= 2^32")
+            meter.charge_log(n, ln)
+            meter.charge_mem(ofs, ln)
+            touch(r, ofs, ln)
             tr[F_LOG, r] = 1
             tr[NSEL[n], r] = 1
             tr[LSEL[li], r] = 1
@@ -734,7 +866,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 # continuation row reads topics 3/4 and drops the slots
                 tr[HALTED, r] = 0
                 r += 1
-                if r >= exec_end:
+                if r >= budget_end:
                     raise Unsupported("execution rows exhausted in LOG")
                 tr[S_LOGX, r] = 1
                 tr[LSEL[li], r] = 1
@@ -771,37 +903,43 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             spush(r, 2, int.from_bytes(window, "big"))
         elif op == MLOAD:
             ofs = spop(r, 1)
-            if ofs >= 1 << 32:
-                raise Unsupported("memory offset >= 2^32")
+            meter.charge_mem(ofs, 32)
+            touch(r, ofs, 32)
             window = bytes(evm_mem.get(ofs + k, 0) for k in range(32))
             em.pack(r, 1, SEG_MAIN, ofs, window)
             spush(r, 2, int.from_bytes(window, "big"))
         elif op == MSTORE:
             ofs = spop(r, 1)
             val = spop(r, 2)
-            if ofs >= 1 << 32:
-                raise Unsupported("memory offset >= 2^32")
+            meter.charge_mem(ofs, 32)
+            touch(r, ofs, 32)
             data = val.to_bytes(32, "big")
             em.pack(r, 0, SEG_MAIN, ofs, data)
             for k, byte in enumerate(data):
                 evm_mem[ofs + k] = byte
         elif op == KECCAK256:
             # SETUP row: pop (ofs, len), declare the sponge request; KPACK
-            # micro-rows stage one 32-byte word each (bytepacking read +
-            # word write to SEG_HASH); a KDIG row consumes the digest.
+            # micro-rows stage the message in the sponge layout (4x32B +
+            # 1x8B words per 136-byte block, partial final chunk); a KDIG
+            # row consumes the digest. Arbitrary lengths < 2^16.
             ofs = spop(r, 1)
             ln = spop(r, 2)
-            if ln == 0 or ln % 32 or ln > 128:
-                raise Unsupported(
-                    "KECCAK256 length must be a positive multiple of 32 "
-                    "bytes <= 128 (single sponge block)"
-                )
-            if ofs >= 1 << 32:
-                raise Unsupported("memory offset >= 2^32")
+            if ln >= 1 << 16:
+                raise Unsupported("KECCAK256 length >= 2^16")
+            meter.charge_keccak(ln)
+            meter.charge_mem(ofs, ln)
+            touch(r, ofs, ln)
+            _fill_iszero(tr, r, ln)  # ln == 0 -> no touch, no KPACK rows
             msg = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
             tr[R0, r] = ofs
             tr[R1, r] = hp
             tr[R2, r] = ln
+            tr[KLEN, r] = ln
+            kwords = (ln + 31) // 32
+            tr[KWORDS, r] = kwords
+            kpad = 32 * kwords - ln
+            for b in range(5):
+                tr[KPD[b], r] = (kpad >> b) & 1
             tr[SP_FIRST, r] = 1
             hash_ts = TS_SLOTS * r + 6
             tr[HS_SEG, r] = SEG_HASH
@@ -813,10 +951,21 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             base_hp = hp
             r += 1
             r0, r1, r2 = ofs, hp, ln
+            phase = 0
+            kblk = 0
             while r2 > 0:
-                if r >= exec_end:
+                if r >= budget_end:
                     raise Unsupported("execution rows exhausted in KECCAK256")
+                cap = 8 if phase == 4 else 32
+                cs = min(cap, r2)
                 tr[S_KPACK, r] = 1
+                tr[KP[phase], r] = 1
+                tr[FULLC, r] = 1 if cs == cap else 0
+                tr[CSW, r] = cs
+                rck = (r2 - cap) if cs == cap else (cap - 1 - r2)
+                tr[RB0, r], tr[RB1, r] = rck & 0xFF, rck >> 8
+                tr[KBLK, r] = kblk
+                tr[KLEN, r] = ln
                 tr[PC, r] = pc
                 tr[SP, r] = sp
                 tr[R0, r], tr[R1, r], tr[R2, r] = r0, r1, r2
@@ -824,47 +973,86 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 tr[LOGIDX, r] = len(logs)
                 tr[HS_SEG, r] = SEG_HASH
                 tr[H_TS, r] = hash_ts
-                data = bytes(evm_mem.get(r0 + k, 0) for k in range(32))
+                data = bytes(evm_mem.get(r0 + k, 0) for k in range(cs))
                 em.pack(r, 1, SEG_MAIN, r0, data)
                 em.chan(r, 1, 0, SEG_HASH, r1, int.from_bytes(data, "little"))
-                r0, r1, r2 = r0 + 32, r1 + 1, r2 - 32
+                if phase == 4:
+                    kblk += 1
+                r0, r1, r2 = r0 + cs, r1 + 1, r2 - cs
+                phase = (phase + 1) % 5
                 r += 1
-            if r >= exec_end:
+            if r >= budget_end:
                 raise Unsupported("execution rows exhausted in KECCAK256")
             digest = keccak256(msg)
+            n_blocks = ln // 136 + 1
+            assert kblk == n_blocks - 1
             tr[S_KDIG, r] = 1
             tr[SP_FINAL, r] = 1
             tr[PC, r] = pc
             tr[SP, r] = sp
             tr[LOGIDX, r] = len(logs)
             tr[R1, r] = r1
+            tr[KBLK, r] = kblk
+            tr[KLEN, r] = ln
             tr[HS_SEG, r] = SEG_HASH
             tr[H_TS, r] = hash_ts
-            tr[H_FVIRT, r] = base_hp  # single block: final virt = base
-            tr[H_FLEN, r] = ln
+            tr[H_FVIRT, r] = base_hp + 5 * kblk
+            tr[H_FLEN, r] = ln - 136 * kblk
             em.revb(r, digest)  # LE byte stream of the LE digest word
-            hp = base_hp + 5  # a block reserves 5 staged-word slots
+            hp = base_hp + 5 * n_blocks  # each block reserves 5 word slots
             tr[HP, r] = hp
             spush(r, 1, int.from_bytes(digest, "big"))
         elif op in (SLOAD, SSTORE):
+            # two-row ops: the op row does the stack/journal work, the
+            # continuation row (S_SLX/S_SSX) reads + sets the EIP-2929
+            # warm flag (and lands the SSTORE journal writes)
             key = spop(r, 1)
             if key not in skeys:
                 raise UnknownStorageKey(key)
             idx = skeys.index(key)
             tr[SIDX, r] = idx
             ksum = sum(_word_limbs(key))
-            from ..gf import field_host as fh
-
             tr[KINV, r] = fh.inv(ksum % fh.P)
+            wold = 1 if key in meter.warm else 0
             if op == SLOAD:
+                meter.charge_sload(key)
                 em.chan(r, 2, 1, SEG_SKEYS, idx, key)
                 em.chan(r, 3, 1, SEG_SVALS, idx, storage[key])
                 spush(r, 4, storage[key])
             else:
                 val = spop(r, 2)
-                em.chan(r, 3, 1, SEG_SKEYS, idx, key)
-                em.chan(r, 4, 0, SEG_SVALS, idx, val)
+                current = storage[key]
+                original = inputs.storage_pre.get(key, 0)
+                meter.charge_sstore(key, current, val)
+                em.chan(r, 3, 1, SEG_SVALS, idx, current)
+                em.chan(r, 4, 1, SEG_SORIG, idx, original)
+                _fill_iszero(tr, r, current)  # C0 (current == 0)
+                _fill_eq(tr, r, (E_VC, D_VC, I_VC, S_VC), val, current)
+                _fill_eq(tr, r, (E_CO, D_CO, I_CO, S_CO), current, original)
+                _fill_eq(tr, r, (E_VO, D_VO, I_VO, S_VO), val, original)
+                _fill_iszero3(tr, r, (EO0, SO0, IO0), original)
+                _fill_iszero3(tr, r, (EV0, SV0, IV0), val)
+                e_vc = 1 if val == current else 0
+                e_co = 1 if current == original else 0
+                tr[P1, r] = (1 - e_vc) * e_co
+                tr[P2, r] = (1 - e_vc) * (1 - e_co)
                 storage[key] = val
+            r += 1
+            if r >= budget_end:
+                raise Unsupported("execution rows exhausted in storage op")
+            tr[S_SLX if op == SLOAD else S_SSX, r] = 1
+            tr[PC, r] = pc
+            tr[SP, r] = sp
+            tr[HP, r] = hp
+            tr[LOGIDX, r] = len(logs)
+            if op == SLOAD:
+                em.chan(r, 1, 1, SEG_SWARM, idx, wold)
+                em.chan(r, 2, 0, SEG_SWARM, idx, 1)
+            else:
+                em.chan(r, 1, 0, SEG_SVALS, idx, storage[key])
+                em.chan(r, 2, 1, SEG_SKEYS, idx, key)
+                em.chan(r, 3, 1, SEG_SWARM, idx, wold)
+                em.chan(r, 4, 0, SEG_SWARM, idx, 1)
         elif op == JUMP:
             dest = spop(r, 1)
             em.chan(r, 2, 1, SEG_JUMPDEST, dest, 1)
@@ -883,14 +1071,22 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         elif op == JUMPDEST:
             pass
         elif op in (RETURN, REVERT):
-            ofs, ln = stack[-1], stack[-2]
-            del stack[-2:]
-            sp -= 2  # pure sp drop: return data is not exposed (envelope)
+            # pops are real channel reads (the gas circuit needs the
+            # operands for memory expansion); data itself stays unexposed
+            ofs = spop(r, 1)
+            ln = spop(r, 2)
+            _fill_iszero(tr, r, ln)  # ln == 0 -> no memory touch
+            meter.charge_mem(ofs, ln)
+            touch(r, ofs, ln)
             return_data = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
             success = 1 if op == RETURN else 0
             halted = True
         else:
             raise Unsupported(f"opcode {op:#x} not in the machine's set")
+        # in-circuit gas: the op row's transition carries the whole charge
+        # (KECCAK256 reassigns u0 after distributing 6/word to KPACK rows)
+        gd[op_row] += meter.used - u0
+        rdl[op_row] += meter.refund - rf0
         if op != KECCAK256:
             pc += adv
         else:
@@ -915,7 +1111,45 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         tr[HP, rr] = hp
         tr[LOGIDX, rr] = len(logs)
         em.chan(rr, 1, 1, SEG_SVALS, i, storage[k])
-        pi_words[lay["storage"] + 3 * i + 2] = storage[k]
+        pi_words[lay["storage"] + 4 * i + 3] = storage[k]
+
+    # -- in-circuit gas columns (vectorized from the per-row deltas)
+    n = em.n
+    gas_col = np.zeros(n, dtype=np.uint64)
+    gas_col[1:] = np.cumsum(gd)[:-1]
+    tr[GAS] = gas_col
+    ref_cum = np.concatenate(([0], np.cumsum(rdl)[:-1]))
+    ref_field = ref_cum.astype(np.uint64)
+    neg = ref_cum < 0
+    # transiently negative counters map to field elements P - |v|
+    ref_field[neg] = np.uint64(fh.P) - (-ref_cum[neg]).astype(np.uint64)
+    tr[REFUND] = ref_field
+    # memory high-water mark: max of all earlier touch NWs
+    mw_col = np.zeros(n, dtype=np.uint64)
+    mw_col[1:] = np.maximum.accumulate(tnw)[:-1]
+    tr[MW] = mw_col
+    tr[CQ] = 3 * mw_col + (mw_col * mw_col) // 512
+    touch_rows = np.nonzero(tnw)[0]
+    for rr in touch_rows:
+        nw_, mw_ = int(tnw[rr]), int(mw_col[rr])
+        tr[TCH, rr] = 1
+        tr[NW, rr] = nw_
+        tr[NW2, rr] = nw_ * nw_
+        tr[NB0, rr], tr[NB1, rr] = nw_ & 0xFF, nw_ >> 8
+        pad = 32 * nw_ - int(tofl[rr])
+        for b in range(5):
+            tr[PB[b], rr] = (pad >> b) & 1
+        grow = 1 if nw_ > mw_ else 0
+        tr[GROW, rr] = grow
+        rcd = (nw_ - mw_ - 1) if grow else (mw_ - nw_)
+        tr[RB0, rr], tr[RB1, rr] = rcd & 0xFF, rcd >> 8
+        if grow:
+            rq = nw_ * nw_ - 512 * ((nw_ * nw_) // 512)
+            tr[RQB, rr], tr[RQBIT, rr] = rq & 0xFF, rq >> 8
+    assert int(gd.sum()) == meter.used, "gas column diverges from the meter"
+    assert int(rdl.sum()) == meter.refund, "refund column diverges"
+    pi_words.append(meter.used)
+    pi_words.append(meter.refund % fh.P)
     pi_words.append(success)
 
     em.finish_mults()
@@ -931,6 +1165,8 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         success=success,
         logs=logs,
         return_data=return_data,
+        gas_used=meter.used,
+        gas_refund=meter.refund,
     )
 
 
@@ -941,6 +1177,7 @@ def discover_and_execute(
     callvalue: int,
     storage_pre: Dict[int, int],
     log_rows: int,
+    warm_pre: Tuple[int, ...] = (),
 ) -> Tuple[EvmShape, EvmInputs, EvmResult]:
     """Run the host interpreter, growing the shape's log list on
     UnknownLogShape misses (storage discovery is the caller's job —
@@ -954,7 +1191,10 @@ def discover_and_execute(
             log_rows=log_rows,
             log_shapes=tuple(log_shapes),
         )
-        inputs = EvmInputs(code, calldata, caller, callvalue, dict(storage_pre))
+        inputs = EvmInputs(
+            code, calldata, caller, callvalue, dict(storage_pre),
+            warm_pre=warm_pre,
+        )
         try:
             return shape, inputs, execute_evm(shape, inputs)
         except UnknownLogShape as miss:
@@ -973,6 +1213,46 @@ def _fill_iszero(tr, r, v: int) -> None:
         tr[Z, r] = 0
         tr[ZINV, r] = fh.inv(s)
 
+
+def _chunks(v: int) -> List[int]:
+    """Six 48-bit chunks of the word's canonical limbs (3 limbs each;
+    injective mod p, so chunkwise equality == word equality)."""
+    limbs = _word_limbs(v)
+    return [
+        sum(l << (16 * i) for i, l in enumerate(limbs[3 * j: 3 * j + 3]))
+        for j in range(6)
+    ]
+
+
+def _fill_eq(tr, r, cols, a: int, b: int) -> None:
+    """Equality-predicate witness (E, D, I, S[6]): E bit; on inequality,
+    S one-hot picks a differing chunk, D its difference, I = 1/D."""
+    from ..gf import field_host as fh
+
+    E, D, I, S = cols
+    if a == b:
+        tr[E, r] = 1
+        return
+    ca, cb = _chunks(a), _chunks(b)
+    j = next(i for i in range(6) if ca[i] != cb[i])
+    tr[S[j], r] = 1
+    d = (ca[j] - cb[j]) % fh.P
+    tr[D, r] = d
+    tr[I, r] = fh.inv(d)
+
+
+def _fill_iszero3(tr, r, cols, v: int) -> None:
+    """Standalone iszero triple (E, S, I) over canonical limbs."""
+    from ..gf import field_host as fh
+
+    E, S, I = cols
+    s = sum(_word_limbs(v)) % fh.P
+    tr[S, r] = s
+    if v == 0:
+        tr[E, r] = 1
+    else:
+        tr[I, r] = fh.inv(s)
+
 # -- the STARK -----------------------------------------------------------------
 
 # per-opcode SP delta and PC advance for the simple selectors
@@ -988,6 +1268,8 @@ _SP_DELTA = {
 _PC_ADV = {op: 1 for op in SIMPLE_OPS}
 _PC_ADV[JUMP] = 0  # handled by the jump correction term
 _PC_ADV[KECCAK256] = 0  # the trailing KDIG row advances pc
+_PC_ADV[SLOAD] = 0  # the S_SLX continuation row advances pc
+_PC_ADV[SSTORE] = 0  # the S_SSX continuation row advances pc
 
 # arithmetic-table ops in EVM operand order (ch1, ch2 as popped)
 _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
@@ -1021,6 +1303,7 @@ class EvmStark(Stark):
         self.F_CHG = f.one()  # code-hash digest row
         self.F_EXEC = f.one()
         self.F_FINAL = f.one()
+        self.F_LAST = f.one()  # last row (GAS/REFUND public-input binding)
         self.F_A1 = f.one()  # per-row static addresses
         self.F_A2 = f.one()
         self.F_A3 = f.one()
@@ -1035,7 +1318,8 @@ class EvmStark(Stark):
         )
         self.lookups = [
             LookupSpec(
-                looking_cols=tuple(REVB),
+                # REVB plus the gas circuit's byte-decomposition columns
+                looking_cols=tuple(REVB) + (RB0, RB1, NB0, NB1, RQB),
                 table_col=NUM_COLUMNS + self.F_BYTE,
                 multiplicity_col=BYTE_MULT,
             ),
@@ -1094,6 +1378,7 @@ class EvmStark(Stark):
             fx[self.F_FINAL, rr] = 1
             fx[self.F_A1, rr] = i
             fx[self.F_SVPOSTSEL[i], rr] = 1
+        fx[self.F_LAST, n - 1] = 1
         return fx
 
     # -- CTL specs --------------------------------------------------------------
@@ -1246,6 +1531,7 @@ class EvmStark(Stark):
         fpush, fdup, fswap, flog = L(F_PUSH), L(F_DUP), L(F_SWAP), L(F_LOG)
         nsel = [L(NSEL[n]) for n in range(33)]
         kpack, kdig = L(S_KPACK), L(S_KDIG)
+        slx, ssx = L(S_SLX), L(S_SSX)
         halted = L(HALTED)
         pc, sp = L(PC), L(SP)
         z, zinv, zs = L(Z), L(ZINV), L(ZS)
@@ -1257,8 +1543,11 @@ class EvmStark(Stark):
         # -- booleans
         bools = (
             [HALTED, Z, F_PUSH, F_DUP, F_SWAP, F_LOG, S_KPACK, S_KDIG,
-             S_LOGX, SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE, AR_PLAIN,
-             AR_SWAP, LG_PLAIN, IS_JD]
+             S_LOGX, S_SLX, S_SSX, SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE,
+             AR_PLAIN, AR_SWAP, LG_PLAIN, IS_JD,
+             GROW, RQBIT, E_VC, E_CO, E_VO, EO0, EV0, FULLC]
+            + list(PB) + list(KP) + list(KPD)
+            + list(S_VC) + list(S_CO) + list(S_VO)
             + list(LSEL)
             + [SEL[op] for op in SIMPLE_OPS]
             + list(NSEL)
@@ -1285,7 +1574,8 @@ class EvmStark(Stark):
         fam_sum = o.add(o.add(fpush, fdup), o.add(fswap, flog))
         logx = L(S_LOGX)
         all_sum = o.add(
-            o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)
+            o.add(o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)),
+            o.add(slx, ssx),
         )
         c.constraint(o.sub(all_sum, act))
         nsel_sum = None
@@ -1304,7 +1594,8 @@ class EvmStark(Stark):
 
         # -- fetch channel 0
         ch0u = L(CH_USED[0])
-        c.constraint(o.sub(ch0u, o.sub(act, o.add(o.add(kpack, kdig), logx))))
+        non_fetch = o.add(o.add(kpack, kdig), o.add(logx, o.add(slx, ssx)))
+        c.constraint(o.sub(ch0u, o.sub(act, non_fetch)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_SEG[0]), const(SEG_CODE))))
         c.constraint(o.mul(ch0u, o.sub(L(CH_VIRT[0]), pc)))
@@ -1344,28 +1635,33 @@ class EvmStark(Stark):
         ch1_users = [
             F(self.F_SVINIT), F(self.F_REPACK), F(self.F_SCAN),
             F(self.F_FINAL), fpush, fdup, fswap, kpack, kdig, flog, logx,
+            slx, ssx,
         ] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLER,
                        CALLVALUE, CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
-                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD, MULMOD)
+                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD, MULMOD,
+                       RETURN, REVERT)
         ]
         ch2_users = [
-            F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap,
+            F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
         ] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
                        MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD,
-                       MULMOD)
+                       MULMOD, RETURN, REVERT)
         ]
-        ch3_users = [fswap] + [
+        ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD)
         ]
-        ch4_users = [fswap, sel[SLOAD], sel[SSTORE], sel[ADDMOD], sel[MULMOD]]
+        ch4_users = [
+            fswap, F(self.F_SVINIT), ssx,
+            sel[SLOAD], sel[SSTORE], sel[ADDMOD], sel[MULMOD],
+        ]
 
         def acc(users, extra=None):
             tot = None
@@ -1442,13 +1738,19 @@ class EvmStark(Stark):
                     )
                 )
 
-        # -- SVINIT rows
+        # -- SVINIT rows: directory key, pre value, EIP-2929 warm flag,
+        # and the EIP-2200 original value (all PI-bound; storage tuples
+        # are (key, warm0, vpre, vpost) at stride 4)
         f_sv = F(self.F_SVINIT)
         bind(f_sv, 1, 0, const(SEG_SKEYS), F(self.F_A1))
         bind(f_sv, 2, 0, const(SEG_SVALS), F(self.F_A1))
+        bind(f_sv, 3, 0, const(SEG_SWARM), F(self.F_A1))
+        bind(f_sv, 4, 0, const(SEG_SORIG), F(self.F_A1))
         for i in range(s.n_skeys):
-            bind_word_pi(F(self.F_SKSEL[i]), 1, lay["storage"] + 3 * i)
-            bind_word_pi(F(self.F_SKSEL[i]), 2, lay["storage"] + 3 * i + 1)
+            bind_word_pi(F(self.F_SKSEL[i]), 1, lay["storage"] + 4 * i)
+            bind_word_pi(F(self.F_SKSEL[i]), 2, lay["storage"] + 4 * i + 2)
+            bind_word_pi(F(self.F_SKSEL[i]), 3, lay["storage"] + 4 * i + 1)
+            bind_word_pi(F(self.F_SKSEL[i]), 4, lay["storage"] + 4 * i + 2)
 
         # -- REPACK rows: pack CTL writes the code bytes; channel 1 writes
         # the little-endian staged word to SEG_CODE_PACKED
@@ -1512,38 +1814,106 @@ class EvmStark(Stark):
         carry_gate = o.add(o.add(N(S_KPACK), N(S_KDIG)), FN(self.F_CHG))
         c.constraint_transition(o.mul(carry_gate, o.sub(N(H_TS), L(H_TS))))
         c.constraint_transition(o.mul(carry_gate, o.sub(N(HS_SEG), L(HS_SEG))))
+        # chunk-size witness: CSW = min(cap, R2) on KPACK rows, 0 elsewhere
+        # (cap = 32 on phases 0-3, 8 on phase 4 of the sponge layout); the
+        # byte-checked RB witness proves the min
+        kps = [L(KP[j]) for j in range(5)]
+        kp_sum = None
+        for j in range(5):
+            kp_sum = kps[j] if kp_sum is None else o.add(kp_sum, kps[j])
+        c.constraint(o.sub(kp_sum, kpack))  # one-hot exactly on kpack rows
+        cap = o.add(
+            o.mul(const(32), o.sub(kp_sum, kps[4])), o.mul(const(8), kps[4])
+        )
+        fullc, csw = L(FULLC), L(CSW)
+        c.constraint(o.mul(o.sub(one, kpack), csw))
+        c.constraint(
+            o.mul(
+                kpack,
+                o.sub(csw, o.add(o.mul(fullc, cap), o.mul(o.sub(one, fullc), L(R2)))),
+            )
+        )
+        rck = o.add(L(RB0), o.mul(const(256), L(RB1)))
+        c.constraint(
+            o.mul(
+                kpack,
+                o.sub(
+                    rck,
+                    o.add(
+                        o.mul(fullc, o.sub(L(R2), cap)),
+                        o.mul(o.sub(one, fullc), o.sub(o.sub(cap, one), L(R2))),
+                    ),
+                ),
+            )
+        )
+        # a partial chunk exhausts the message: the next row is the digest
         c.constraint_transition(
-            o.mul(N(S_KPACK), o.sub(N(R0), o.add(L(R0), o.mul(const(32), kpack))))
+            o.mul(o.mul(kpack, o.sub(one, fullc)), o.sub(one, N(S_KDIG)))
+        )
+        # phase rotation 0->1->2->3->4->0 across consecutive KPACK rows
+        c.constraint_transition(
+            o.mul(sel[KECCAK256], o.sub(N(KP[0]), N(S_KPACK)))
+        )
+        for j in range(5):
+            c.constraint_transition(
+                o.mul(o.mul(kpack, N(S_KPACK)), o.sub(N(KP[(j + 1) % 5]), kps[j]))
+            )
+        c.constraint_transition(
+            o.mul(N(S_KPACK), o.sub(N(R0), o.add(L(R0), csw)))
         )
         kk = o.add(N(S_KPACK), N(S_KDIG))
         c.constraint_transition(o.mul(kk, o.sub(N(R1), o.add(L(R1), kpack))))
-        c.constraint_transition(
-            o.mul(kk, o.sub(o.add(N(R2), o.mul(const(32), kpack)), L(R2)))
+        c.constraint_transition(o.mul(kk, o.sub(o.add(N(R2), csw), L(R2))))
+        # block counter + carried length (multi-block digests)
+        c.constraint(o.mul(sel[KECCAK256], L(KBLK)))
+        c.constraint(
+            o.mul(sel[KECCAK256], o.sub(L(KLEN), L(CH_VAL[2][0])))
         )
-        # digest-row final-block virt/len: one block, base = HP before KDIG
-        c.constraint_transition(o.mul(N(S_KDIG), o.sub(N(H_FVIRT), L(HP))))
+        c.constraint_transition(
+            o.mul(kk, o.sub(N(KBLK), o.add(L(KBLK), kps[4])))
+        )
+        c.constraint_transition(o.mul(kk, o.sub(N(KLEN), L(KLEN))))
+        # digest-row final-block virt/len from the block counter
         c.constraint_transition(
             o.mul(
                 N(S_KDIG),
-                o.sub(N(H_FLEN), o.mul(const(32), o.sub(N(R1), L(HP)))),
+                o.sub(
+                    N(H_FVIRT), o.add(L(HP), o.mul(const(5), N(KBLK)))
+                ),
             )
         )
-        c.constraint(o.mul(kdig, L(R2)))  # repack loop ran to completion
-        # phase integrity
+        c.constraint_transition(
+            o.mul(
+                N(S_KDIG),
+                o.sub(N(H_FLEN), o.sub(N(KLEN), o.mul(const(136), N(KBLK)))),
+            )
+        )
+        c.constraint(o.mul(kdig, L(R2)))  # staging ran to completion
+        # phase integrity (an empty message goes straight to the digest)
         c.constraint_transition(
             o.mul(N(S_KPACK), o.sub(o.add(kpack, sel[KECCAK256]), one))
         )
-        c.constraint_transition(o.mul(N(S_KDIG), o.sub(kpack, one)))
+        c.constraint_transition(
+            o.mul(N(S_KDIG), o.sub(o.add(kpack, sel[KECCAK256]), one))
+        )
         c.constraint_transition(
             o.mul(kpack, o.sub(o.add(N(S_KPACK), N(S_KDIG)), one))
         )
-        c.constraint_transition(o.mul(sel[KECCAK256], o.sub(N(S_KPACK), one)))
-        # HP: constant except entering KDIG (a block reserves 5 word slots)
+        c.constraint_transition(
+            o.mul(sel[KECCAK256], o.sub(o.add(N(S_KPACK), N(S_KDIG)), one))
+        )
+        # HP: constant except entering KDIG (5 word slots per block)
         c.constraint_transition(
             o.mul(o.sub(one, N(S_KDIG)), o.sub(N(HP), L(HP)))
         )
         c.constraint_transition(
-            o.mul(N(S_KDIG), o.sub(N(HP), o.add(L(HP), const(5))))
+            o.mul(
+                N(S_KDIG),
+                o.sub(
+                    N(HP),
+                    o.add(L(HP), o.add(o.mul(const(5), N(KBLK)), const(5))),
+                ),
+            )
         )
 
         # -- KECCAK256 setup
@@ -1560,6 +1930,27 @@ class EvmStark(Stark):
         c.constraint(o.mul(skec, o.sub(L(R1), L(HP))))
         c.constraint(o.mul(skec, o.sub(L(HS_SEG), const(SEG_HASH))))
         c.constraint(o.mul(skec, o.sub(L(HS_VIRT), L(HP))))
+        # Z bank decides ln == 0 (no memory touch, no staging rows)
+        zsum_kl = None
+        for k in range(N_LIMBS):
+            t = L(CH_VAL[2][k])
+            zsum_kl = t if zsum_kl is None else o.add(zsum_kl, t)
+        c.constraint(o.mul(skec, o.sub(zs, zsum_kl)))
+        # gas word count: 32*KWORDS = ln + pad (unique field solution per
+        # 5-bit pad, so KWORDS is exactly ceil(ln/32))
+        kpad_lin = None
+        for b in range(5):
+            t = o.mul(const(1 << b), L(KPD[b]))
+            kpad_lin = t if kpad_lin is None else o.add(kpad_lin, t)
+        c.constraint(
+            o.mul(
+                skec,
+                o.sub(
+                    o.mul(const(32), L(KWORDS)),
+                    o.add(L(CH_VAL[2][0]), kpad_lin),
+                ),
+            )
+        )
 
         # -- KPACK micro-rows: pack CTL reads 32 message bytes; channel 1
         # writes the little-endian staged word to SEG_HASH
@@ -1716,8 +2107,9 @@ class EvmStark(Stark):
                 log_len = t if log_len is None else o.add(log_len, t)
         len_expr = o.add(
             o.add(
-                o.mul(
-                    o.add(o.add(push_packs, window_pop), kpack), const(32)
+                o.add(
+                    o.mul(o.add(push_packs, window_pop), const(32)),
+                    L(CSW),  # kpack rows: the staged chunk size
                 ),
                 o.mul(pre_packs, F(self.F_PLEN)),
             ),
@@ -1725,7 +2117,8 @@ class EvmStark(Stark):
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_LEN)), len_expr))
 
-        # -- SLOAD / SSTORE
+        # -- SLOAD / SSTORE (two-row ops; the continuation row handles
+        # the EIP-2929 warm-flag journal and the SSTORE journal writes)
         ssl, sss = sel[SLOAD], sel[SSTORE]
         bind(ssl, 1, 1, const(SEG_STACK), spm(1))  # pop key
         bind(ssl, 2, 1, const(SEG_SKEYS), L(SIDX))
@@ -1735,16 +2128,128 @@ class EvmStark(Stark):
         bind_word_eq(ssl, 4, 3)
         bind(sss, 1, 1, const(SEG_STACK), spm(1))  # pop key
         bind(sss, 2, 1, const(SEG_STACK), spm(2))  # pop value
-        bind(sss, 3, 1, const(SEG_SKEYS), L(SIDX))
-        bind(sss, 4, 0, const(SEG_SVALS), L(SIDX))
-        bind_word_eq(sss, 3, 1)
-        bind_word_eq(sss, 4, 2)
-        # directory cell must be nonzero (points at a PI-bound key)
-        for g, ch in ((ssl, 2), (sss, 3)):
-            ks = None
+        bind(sss, 3, 1, const(SEG_SVALS), L(SIDX))  # current (pre-store)
+        bind(sss, 4, 1, const(SEG_SORIG), L(SIDX))  # original (pre-tx)
+        # phase integrity: continuation rows follow exactly their op rows
+        c.constraint_first_row(slx)
+        c.constraint_first_row(ssx)
+        c.constraint_transition(o.sub(N(S_SLX), ssl))
+        c.constraint_transition(o.sub(N(S_SSX), sss))
+
+        def bind_next(gate, ch, is_read, seg, virt_expr):
+            """Channel bindings for the NEXT row, gated by this row."""
+            c.constraint_transition(
+                o.mul(gate, o.sub(N(CH_ISREAD[ch]), const(is_read)))
+            )
+            c.constraint_transition(o.mul(gate, o.sub(N(CH_SEG[ch]), seg)))
+            c.constraint_transition(o.mul(gate, o.sub(N(CH_VIRT[ch]), virt_expr)))
+
+        def bind_next_const1(gate, ch):
+            c.constraint_transition(
+                o.mul(gate, o.sub(N(CH_VAL[ch][0]), one))
+            )
+            for k in range(1, N_LIMBS):
+                c.constraint_transition(o.mul(gate, N(CH_VAL[ch][k])))
+
+        def bind_next_flag(gate, ch):
+            # warm-flag read: boolean limb 0, upper limbs zero
+            w = N(CH_VAL[ch][0])
+            c.constraint_transition(o.mul(gate, o.mul(w, o.sub(w, one))))
+            for k in range(1, N_LIMBS):
+                c.constraint_transition(o.mul(gate, N(CH_VAL[ch][k])))
+
+        # SLOAD continuation: read warm flag (ch1), set it (ch2)
+        bind_next(ssl, 1, 1, const(SEG_SWARM), L(SIDX))
+        bind_next_flag(ssl, 1)
+        bind_next(ssl, 2, 0, const(SEG_SWARM), L(SIDX))
+        bind_next_const1(ssl, 2)
+        # SSTORE continuation: journal write (ch1 = popped value), key
+        # directory read (ch2 = popped key), warm flag read+set (ch3/ch4)
+        bind_next(sss, 1, 0, const(SEG_SVALS), L(SIDX))
+        for k in range(N_LIMBS):
+            c.constraint_transition(
+                o.mul(sss, o.sub(N(CH_VAL[1][k]), L(CH_VAL[2][k])))
+            )
+        bind_next(sss, 2, 1, const(SEG_SKEYS), L(SIDX))
+        for k in range(N_LIMBS):
+            c.constraint_transition(
+                o.mul(sss, o.sub(N(CH_VAL[2][k]), L(CH_VAL[1][k])))
+            )
+        bind_next(sss, 3, 1, const(SEG_SWARM), L(SIDX))
+        bind_next_flag(sss, 3)
+        bind_next(sss, 4, 0, const(SEG_SWARM), L(SIDX))
+        bind_next_const1(sss, 4)
+        # directory cell must be nonzero (points at a PI-bound key):
+        # SLOAD reads it locally (ch2); SSTORE on the continuation row
+        ks = None
+        for k in range(N_LIMBS):
+            ks = L(CH_VAL[2][k]) if ks is None else o.add(ks, L(CH_VAL[2][k]))
+        c.constraint(o.mul(ssl, o.sub(o.mul(ks, L(KINV)), one)))
+        ks_n = None
+        for k in range(N_LIMBS):
+            t = N(CH_VAL[2][k])
+            ks_n = t if ks_n is None else o.add(ks_n, t)
+        c.constraint_transition(
+            o.mul(sss, o.sub(o.mul(ks_n, L(KINV)), one))
+        )
+
+        # -- SSTORE net-metering predicates (EIP-2200/3529): equality of
+        # (value=ch2, current=ch3, original=ch4) word pairs via 48-bit
+        # chunks; C0 (current == 0) rides the row's Z bank
+        def chunk(ch, j):
+            e = None
+            for i in range(3):
+                li = 3 * j + i
+                if li >= N_LIMBS:
+                    break
+                t = o.mul(const(1 << (16 * i)), L(CH_VAL[ch][li]))
+                e = t if e is None else o.add(e, t)
+            return e
+
+        zsum_cur = None
+        for k in range(N_LIMBS):
+            t = L(CH_VAL[3][k])
+            zsum_cur = t if zsum_cur is None else o.add(zsum_cur, t)
+        c.constraint(o.mul(sss, o.sub(zs, zsum_cur)))
+
+        for (ecol, dcol, icol, scols, ch_a, ch_b) in (
+            (E_VC, D_VC, I_VC, S_VC, 2, 3),
+            (E_CO, D_CO, I_CO, S_CO, 3, 4),
+            (E_VO, D_VO, I_VO, S_VO, 2, 4),
+        ):
+            e_, d_, i_ = L(ecol), L(dcol), L(icol)
+            s_ = [L(x) for x in scols]
+            ssum = None
+            dsum = None
+            for j in range(6):
+                dj = o.sub(chunk(ch_a, j), chunk(ch_b, j))
+                # equality direction: every chunk matches
+                c.constraint(o.mul(o.mul(sss, e_), dj))
+                ssum = s_[j] if ssum is None else o.add(ssum, s_[j])
+                t = o.mul(s_[j], dj)
+                dsum = t if dsum is None else o.add(dsum, t)
+            # inequality direction: pick one differing chunk, prove != 0
+            c.constraint(o.sub(ssum, o.mul(sss, o.sub(one, e_))))
+            c.constraint(o.sub(d_, dsum))
+            c.constraint(o.sub(o.mul(d_, i_), ssum))
+        for (ecol, scol, icol, ch) in ((EO0, SO0, IO0, 4), (EV0, SV0, IV0, 2)):
+            e_, s_, i_ = L(ecol), L(scol), L(icol)
+            lsum = None
             for k in range(N_LIMBS):
-                ks = L(CH_VAL[ch][k]) if ks is None else o.add(ks, L(CH_VAL[ch][k]))
-            c.constraint(o.mul(g, o.sub(o.mul(ks, L(KINV)), one)))
+                t = L(CH_VAL[ch][k])
+                lsum = t if lsum is None else o.add(lsum, t)
+            c.constraint(o.mul(sss, o.sub(s_, lsum)))
+            c.constraint(o.mul(o.sub(one, sss), s_))
+            c.constraint(o.mul(e_, s_))
+            c.constraint(o.sub(o.mul(s_, i_), o.sub(sss, o.mul(sss, e_))))
+        # branch gates: P1 = sss*(1-E_VC)*E_CO, P2 = sss*(1-E_VC)*(1-E_CO)
+        e_vc, e_co = L(E_VC), L(E_CO)
+        c.constraint(
+            o.sub(L(P1), o.mul(sss, o.mul(o.sub(one, e_vc), e_co)))
+        )
+        c.constraint(
+            o.sub(L(P2), o.mul(sss, o.mul(o.sub(one, e_vc), o.sub(one, e_co))))
+        )
 
         # -- JUMP / JUMPI
         sj, sji = sel[JUMP], sel[JUMPI]
@@ -1843,7 +2348,21 @@ class EvmStark(Stark):
         for i in range(len(s.log_shapes), 4):
             c.constraint(L(LSEL[i]))
 
-        # -- halting + success
+        # -- halting + success; RETURN/REVERT pop (offset, length) for
+        # the gas circuit's memory expansion (data itself stays unexposed)
+        retrev = o.add(sel[RETURN], sel[REVERT])
+        bind(retrev, 1, 1, const(SEG_STACK), spm(1))  # offset
+        bind(retrev, 2, 1, const(SEG_STACK), spm(2))  # length
+        zsum_len = None
+        for k in range(N_LIMBS):
+            t = L(CH_VAL[2][k])
+            zsum_len = t if zsum_len is None else o.add(zsum_len, t)
+        c.constraint(o.mul(retrev, o.sub(zs, zsum_len)))  # Z = (len == 0)
+        # nonzero length: offset/length fit in two limbs (2MB envelope)
+        retrev_touch = o.mul(retrev, o.sub(one, z))
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(retrev_touch, L(CH_VAL[1][k])))
+            c.constraint(o.mul(retrev_touch, L(CH_VAL[2][k])))
         halt_fired = acc([sel[STOP], sel[RETURN], sel[REVERT]])
         c.constraint_transition(o.sub(N(HALTED), o.add(halted, halt_fired)))
         pi_success = ctx.public_input(16 * lay["success"])
@@ -1857,7 +2376,7 @@ class EvmStark(Stark):
         c.constraint(o.mul(f_fin, o.sub(one, halted)))
         bind(f_fin, 1, 1, const(SEG_SVALS), F(self.F_A1))
         for i in range(s.n_skeys):
-            bind_word_pi(F(self.F_SVPOSTSEL[i]), 1, lay["storage"] + 3 * i + 2)
+            bind_word_pi(F(self.F_SVPOSTSEL[i]), 1, lay["storage"] + 4 * i + 3)
 
         # -- PC / SP transitions
         pc_adv = None
@@ -1869,7 +2388,7 @@ class EvmStark(Stark):
         pc_adv = o.add(pc_adv, o.mul(fpush, o.add(one, nlin)))
         pc_adv = o.add(pc_adv, o.add(fdup, fswap))
         pc_adv = o.add(pc_adv, o.add(o.mul(flog, nsel_le2), logx))
-        pc_adv = o.add(pc_adv, kdig)
+        pc_adv = o.add(pc_adv, o.add(kdig, o.add(slx, ssx)))
         pc_adv = o.add(pc_adv, o.mul(sj, o.sub(L(CH_VAL[1][0]), pc)))
         pc_adv = o.add(
             pc_adv,
@@ -1895,3 +2414,140 @@ class EvmStark(Stark):
         if logx_drop is not None:
             sp_d = o.sub(sp_d, logx_drop)
         c.constraint_transition(o.sub(N(SP), o.add(sp, sp_d)))
+
+        # ===================== in-circuit gas =============================
+        # (consensus frame gas per evm/gas.py; GAS/REFUND run as columns
+        # and bind to public inputs on the last row)
+        grow, tch = L(GROW), L(TCH)
+        nw, nw2, mw, cq = L(NW), L(NW2), L(MW), L(CQ)
+        c.constraint_first_row(L(GAS))
+        c.constraint_first_row(L(REFUND))
+        c.constraint_first_row(mw)
+        c.constraint_first_row(cq)
+
+        # -- memory touch rows: TCH = ops that touch SEG_MAIN, length > 0
+        tch_def = acc(
+            [sml, sms],
+            o.add(
+                log_data,
+                o.mul(o.add(retrev, skec), o.sub(one, z)),
+            ),
+        )
+        c.constraint(o.sub(tch, tch_def))
+        c.constraint(o.mul(grow, o.sub(one, tch)))  # GROW only on touches
+        # NW bounded < 2^16 (byte-checked decomposition)
+        c.constraint(
+            o.mul(tch, o.sub(nw, o.add(L(NB0), o.mul(const(256), L(NB1)))))
+        )
+        # 32*NW = offset + length + pad, pad < 32
+        pad_lin = None
+        for b in range(5):
+            t = o.mul(const(1 << b), L(PB[b]))
+            pad_lin = t if pad_lin is None else o.add(pad_lin, t)
+        ofs_touch = o.add(
+            L(CH_VAL[1][0]), o.mul(const(1 << 16), L(CH_VAL[1][1]))
+        )
+        len16 = o.add(L(CH_VAL[2][0]), o.mul(const(1 << 16), L(CH_VAL[2][1])))
+        len_expr = o.add(
+            o.add(o.mul(acc([sml, sms]), const(32)), o.mul(skec, L(CH_VAL[2][0]))),
+            o.add(
+                log_len if log_len is not None else zero,
+                o.mul(retrev, len16),
+            ),
+        )
+        c.constraint(
+            o.mul(
+                tch,
+                o.sub(
+                    o.mul(const(32), nw),
+                    o.add(o.add(ofs_touch, len_expr), pad_lin),
+                ),
+            )
+        )
+        # GROW correctness: byte-checked |NW - MW| witness
+        rcd = o.add(L(RB0), o.mul(const(256), L(RB1)))
+        cmp_expr = o.add(
+            o.mul(grow, o.sub(o.sub(nw, mw), one)),
+            o.mul(o.sub(one, grow), o.sub(mw, nw)),
+        )
+        c.constraint(o.mul(tch, o.sub(rcd, cmp_expr)))
+        # quadratic cost witness: NW2 = NW^2; on growth the next row's
+        # CQ becomes C(NW) = 3*NW + floor(NW^2/512) with remainder < 512
+        c.constraint(o.mul(tch, o.sub(nw2, o.mul(nw, nw))))
+        rq = o.add(L(RQB), o.mul(const(256), L(RQBIT)))
+        c.constraint_transition(
+            o.mul(
+                grow,
+                o.sub(
+                    o.add(nw2, o.mul(const(1536), nw)),
+                    o.add(o.mul(const(512), N(CQ)), rq),
+                ),
+            )
+        )
+        c.constraint_transition(o.mul(o.sub(one, grow), o.sub(N(CQ), cq)))
+        c.constraint_transition(
+            o.sub(N(MW), o.add(mw, o.mul(grow, o.sub(nw, mw))))
+        )
+
+        # -- GAS transition: static costs + dynamic parts
+        delta = None
+
+        def dadd(term):
+            nonlocal delta
+            delta = term if delta is None else o.add(delta, term)
+
+        for op in SIMPLE_OPS:
+            g = STATIC_GAS.get(op, 0)
+            if g:
+                dadd(o.mul(const(g), sel[op]))
+        dadd(o.mul(const(3), o.add(fdup, fswap)))
+        dadd(o.sub(o.mul(const(3), fpush), o.mul(fpush, nsel[0])))  # PUSH0=2
+        # keccak: 30 + 6*ceil(len/32), all charged on the setup row
+        dadd(o.mul(skec, o.add(const(30), o.mul(const(6), L(KWORDS)))))
+        log_gas = None
+        for i in range(len(s.log_shapes)):
+            gl = 375 + 375 * nt_of[i] + 8 * dl_of[i]
+            t = o.mul(o.mul(flog, lsel[i]), const(gl))
+            log_gas = t if log_gas is None else o.add(log_gas, t)
+        if log_gas is not None:
+            dadd(log_gas)
+        # EIP-2929 storage: the warm flag W is read on the NEXT row
+        w_sl = N(CH_VAL[1][0])
+        dadd(o.mul(ssl, o.sub(const(2100), o.mul(const(2000), w_sl))))
+        w_ss = N(CH_VAL[3][0])
+        dadd(o.mul(o.mul(sss, const(2100)), o.sub(one, w_ss)))
+        # EIP-2200 net metering: 100 no-op/dirty, 20000 set, 2900 reset
+        dadd(o.mul(const(100), o.mul(sss, L(E_VC))))
+        dadd(o.mul(L(P1), o.add(const(2900), o.mul(const(17100), L(EO0)))))
+        dadd(o.mul(const(100), L(P2)))
+        # memory expansion: C(NW) - C(MW) on growth
+        dadd(o.mul(grow, o.sub(N(CQ), cq)))
+        c.constraint_transition(o.sub(N(GAS), o.add(L(GAS), delta)))
+
+        # -- REFUND transition (EIP-3529)
+        neg4800 = const(ar.fh.P - 4800)
+        not_eo0 = o.sub(one, L(EO0))
+        rdelta = o.mul(const(4800), o.mul(L(P1), o.mul(not_eo0, L(EV0))))
+        rdelta = o.add(
+            rdelta, o.mul(neg4800, o.mul(L(P2), o.mul(not_eo0, z)))
+        )
+        rdelta = o.add(
+            rdelta, o.mul(const(4800), o.mul(L(P2), o.mul(not_eo0, L(EV0))))
+        )
+        rdelta = o.add(
+            rdelta, o.mul(const(19900), o.mul(L(P2), o.mul(L(E_VO), L(EO0))))
+        )
+        rdelta = o.add(
+            rdelta, o.mul(const(2800), o.mul(L(P2), o.mul(L(E_VO), not_eo0)))
+        )
+        c.constraint_transition(o.sub(N(REFUND), o.add(L(REFUND), rdelta)))
+
+        # -- bind GAS/REFUND to public inputs on the last row (values fit
+        # four 16-bit limbs; the verifier recomputes the full words)
+        f_last = F(self.F_LAST)
+        for col, word in ((GAS, lay["gas"]), (REFUND, lay["refund"])):
+            comp = None
+            for k in range(4):
+                t = o.mul(const(1 << (16 * k)), ctx.public_input(16 * word + k))
+                comp = t if comp is None else o.add(comp, t)
+            c.constraint(o.mul(f_last, o.sub(L(col), comp)))

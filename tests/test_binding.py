@@ -137,7 +137,7 @@ def _roles(gi):
 
 
 def test_num_pi_words():
-    assert NUM_PI_WORDS == 12
+    assert NUM_PI_WORDS == 13
 
 
 @pytest.mark.slow
@@ -149,7 +149,8 @@ def test_binding_stark_e2e_and_soundness():
     from ethproof_tpu.tables.all import TableSizes
 
     gi = make_transfer_witness(
-        miner_is_sender=True, recipient_is_sender=True, gas_price=1, gas_used=20
+        miner_is_sender=True, recipient_is_sender=True, gas_price=1,
+        sender_bal=30000,
     )
     shape = KernelShape(levels=2, node_words=10)
     # arithmetic needs its 2^16 production floor: comparisons of 256-bit

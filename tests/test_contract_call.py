@@ -72,7 +72,22 @@ def make_erc20_witness(amount=30, sender_tokens=100, bob_tokens=5,
     calldata = erc20.transfer_calldata(int.from_bytes(BOB, "big"), amount)
     raw = sign_legacy_tx(4, gas_price, 100000, TOKEN, value, calldata, PK,
                          chain_id=1)
-    gas_used = 51000
+    # consensus gas: intrinsic + metered machine frame (evm/gas.py) —
+    # derived by running the interpreter on a preliminary witness
+    prelim = GenerationInputs(
+        txn_number_before=0,
+        gas_used_before=0,
+        gas_used_after=0,
+        signed_txn=raw,
+        tries=TrieInputs(
+            state_trie=state, storage_tries=[(keccak256(TOKEN), strie)]
+        ),
+        trie_roots_after=TrieRoots(),
+        checkpoint_state_trie_root=state.hash(),
+        block_metadata=BlockMetadata(block_beneficiary=MINER, block_chain_id=1),
+        contract_code={token_acct["code_hash"]: code},
+    )
+    gas_used = C.consensus_gas_used(prelim)
     fee = gas_price * gas_used
 
     # receipts commitment: empty pre-trie + the tx's consensus receipt
@@ -157,7 +172,7 @@ class TestDiscoveryAndBinding:
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=list(res.pi_words),
             gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
-            miner=MINER, gas_used=51000,
+            miner=MINER, gas_used=gi.gas_used_after,
         )
         assert C.check_contract_binding(proof)
 
@@ -167,7 +182,7 @@ class TestDiscoveryAndBinding:
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=list(res.pi_words),
             gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
-            miner=MINER, gas_used=51000,
+            miner=MINER, gas_used=gi.gas_used_after,
         )
         assert not C.check_contract_binding(proof)
 
@@ -176,11 +191,11 @@ class TestDiscoveryAndBinding:
         shape, inputs, res = C.machine_inputs_for_tx(gi)
         pi = list(res.pi_words)
         lay = shape.pi_layout
-        pi[lay["storage"] + 2] += 1  # extra token out of thin air
+        pi[lay["storage"] + 3] += 1  # extra token out of thin air (vpost)
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=pi, gen_inputs=gi,
             sender=private_key_to_address(PK), to=TOKEN, miner=MINER,
-            gas_used=51000,
+            gas_used=gi.gas_used_after,
         )
         assert not C.check_contract_binding(proof)
 
@@ -195,7 +210,7 @@ class TestDiscoveryAndBinding:
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=pi, gen_inputs=gi,
             sender=private_key_to_address(PK), to=TOKEN, miner=MINER,
-            gas_used=51000,
+            gas_used=gi.gas_used_after,
         )
         assert not C.check_contract_binding(proof)
 
@@ -206,7 +221,7 @@ class TestDiscoveryAndBinding:
         proof = C.ContractCallProof(
             multi=None, shape=shape, machine_pi=list(res.pi_words),
             gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
-            miner=MINER, gas_used=51000,
+            miner=MINER, gas_used=gi.gas_used_after,
         )
         assert C.check_contract_binding(proof)
 
@@ -217,7 +232,7 @@ class TestContractCallProof:
         gi = make_erc20_witness()
         proof = C.prove_contract_call(gi, CFG, SIZES)
         assert C.verify_contract_call(proof, CFG)
-        proof.machine_pi[proof.shape.pi_layout["storage"] + 5] += 1
+        proof.machine_pi[proof.shape.pi_layout["storage"] + 7] += 1
         assert not C.verify_contract_call(proof, CFG)
 
 
@@ -248,3 +263,42 @@ class TestMixedBlockDispatch:
             if shape not in shapes:
                 shapes.append(shape)
         assert len(shapes) == 1  # same contract/calldata layout -> one shape
+
+
+class TestInCircuitBinding:
+    """The second (kasm) multi-proof proves the storage chain + account
+    updates; verification cross-checks its PI against the machine's."""
+
+    @pytest.mark.slow
+    def test_prove_verify_with_binding(self):
+        from ethproof_tpu.evm.binding import KernelShape
+
+        gi = make_erc20_witness()
+        proof = C.prove_contract_call(
+            gi, CFG, SIZES, binding=KernelShape(levels=3, node_words=20)
+        )
+        assert proof.binding_multi is not None and proof.cb_n_slots == 2
+        assert C.verify_contract_call(proof, CFG)
+        # the binding proof is load-bearing: a PI tamper must fail the
+        # cross-check even before the STARK layer
+        proof.cb_pi = list(proof.cb_pi)
+        proof.cb_pi[17] += 1  # slot 0 vpost
+        assert not C.verify_binding_proof(proof, CFG)
+
+    def test_serde_roundtrip_with_binding_fields(self):
+        from ethproof_tpu.runtime.serde import (
+            aggregatable_from_json,
+            aggregatable_to_json,
+        )
+
+        gi = make_erc20_witness()
+        shape, _inputs, res = C.machine_inputs_for_tx(gi)
+        proof = C.ContractCallProof(
+            multi=None, shape=shape, machine_pi=list(res.pi_words),
+            gen_inputs=gi, sender=private_key_to_address(PK), to=TOKEN,
+            miner=MINER, gas_used=gi.gas_used_after,
+        )
+        d = aggregatable_to_json(proof)
+        back = aggregatable_from_json(d)
+        assert back.machine_pi == proof.machine_pi
+        assert back.cb_pi is None and back.cb_n_slots == 0

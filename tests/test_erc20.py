@@ -106,5 +106,5 @@ class TestProof:
         assert A.verify_evm_tables(machine, res.pi_words, proof, CFG)
         bad = list(res.pi_words)
         # forge the recipient's post balance
-        bad[shape.pi_layout["storage"] + 5] += 1
+        bad[shape.pi_layout["storage"] + 7] += 1
         assert not A.verify_evm_tables(machine, bad, proof, CFG)

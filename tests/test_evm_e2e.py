@@ -145,5 +145,5 @@ class TestEvmE2E:
         assert A.verify_evm_tables(machine, res.pi_words, proof, CFG)
         # tampered public input (forged post-storage) must fail
         bad = list(res.pi_words)
-        bad[shape.pi_layout["storage"] + 2] = 41
+        bad[shape.pi_layout["storage"] + 3] = 41
         assert not A.verify_evm_tables(machine, bad, proof, CFG)

@@ -220,6 +220,173 @@ class TestConstraints:
         shape, res = run(code, storage={key: 1})
         stark = E.EvmStark(shape)
         pis = pi_limbs(res.pi_words)
-        pis[16 * (shape.pi_layout["storage"] + 2)] = 9  # forge vpost
+        pis[16 * (shape.pi_layout["storage"] + 3)] = 9  # forge vpost
         bad = check_constraints(stark, res.trace, pis)
         assert bad
+
+
+class TestGasCircuit:
+    """In-circuit gas soundness: the GAS/REFUND public inputs and the
+    warm/memory witnesses are constraint-bound, not prover-chosen."""
+
+    def _setup(self, code, storage=None, **kw):
+        shape, res = run(code, storage=storage, **kw)
+        return shape, res, E.EvmStark(shape)
+
+    def test_tampered_gas_pi_rejected(self):
+        code = E.asm(("push", 1), ("push", 2), E.ADD, E.POP, E.STOP)
+        shape, res, stark = self._setup(code)
+        pis = pi_limbs(res.pi_words)
+        pis[16 * shape.pi_layout["gas"]] -= 1  # claim one gas less
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_tampered_refund_pi_rejected(self):
+        key = 0xBEEF
+        code = E.asm(("push", 0), ("push", key), E.SSTORE, E.STOP)
+        shape, res, stark = self._setup(code, storage={key: 5})
+        assert res.gas_refund == 4800  # clean clear
+        pis = pi_limbs(res.pi_words)
+        pis[16 * shape.pi_layout["refund"]] += 1
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_forged_warm_flag_rejected(self):
+        # claim the slot was pre-warmed (2000 gas cheaper): the SVINIT
+        # write is PI-bound, so flipping the journal breaks either the
+        # SVINIT binding or (here) the warm-flag read consistency
+        key = 0xBEEF
+        code = E.asm(("push", key), E.SLOAD, E.POP, E.STOP)
+        shape, res, stark = self._setup(code, storage={key: 5})
+        tr = res.trace.copy()
+        # find the SLOAD continuation row and forge its warm read to 1
+        rows = np.nonzero(tr[E.S_SLX])[0]
+        assert len(rows) == 1
+        tr[E.CH_VAL[1][0], rows[0]] = 1
+        pis = pi_limbs(res.pi_words)
+        # gas stays honest -> the in-circuit charge now disagrees
+        assert check_constraints(stark, tr, pis)
+
+    def test_forged_memory_growth_rejected(self):
+        # suppress the expansion charge by clearing GROW on the MSTORE
+        code = E.asm(("push", 7), ("push", 0), E.MSTORE, E.STOP)
+        shape, res, stark = self._setup(code)
+        tr = res.trace.copy()
+        rows = np.nonzero(tr[E.GROW])[0]
+        assert len(rows) == 1
+        tr[E.GROW, rows[0]] = 0
+        assert check_constraints(stark, tr, pi_limbs(res.pi_words))
+
+    def test_gas_matches_meter(self):
+        key = (1 << 100) + 3
+        code = E.asm(
+            ("push", 0x42), ("push", 64), E.MSTORE,
+            ("push", 32), ("push", 64), E.KECCAK256, E.POP,
+            ("push", key), E.SLOAD, ("push", 2), E.MUL,
+            ("push", key), E.SSTORE,
+            ("push", 0), ("push", 0), E.RETURN,
+        )
+        shape, res, stark = self._setup(code, storage={key: 21})
+        lay = shape.pi_layout
+        assert res.pi_words[lay["gas"]] == res.gas_used
+        # cross-check against the standalone meter arithmetic:
+        # 9 pushes + mstore 3 + memexp C(3) + keccak 30+6 + pop 2
+        # + cold sload 2100 + mul 5 + warm sstore reset 2900 + return 0
+        from ethproof_tpu.evm.gas import memory_cost
+
+        want = (
+            9 * 3 + 3 + memory_cost(3) + (30 + 6) + 2
+            + 2100 + 5 + 2900 + 0
+        )
+        assert res.gas_used == want
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+
+
+class TestKeccakMultiBlock:
+    """KECCAK256 beyond one sponge block: arbitrary lengths, the 4x32+8
+    staging layout, and the gas word cost (round-2 envelope gap)."""
+
+    def _hash_prog(self, ln, fill=0x37):
+        # memset ln bytes then hash them; store the digest and return it
+        items = []
+        for w in range(0, ln, 32):
+            items += [("push", fill + w), ("push", w), E.MSTORE]
+        items += [("push", ln), ("push", 0), E.KECCAK256,
+                  ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN]
+        return E.asm(*items)
+
+    def _roundtrip(self, ln, log_rows=9):
+        from ethproof_tpu.hash.keccak import keccak256
+
+        code = self._hash_prog(ln)
+        shape, res = run(code, log_rows=log_rows)
+        # host semantics: digest matches the reference keccak
+        msg = bytearray(((ln + 31) // 32) * 32)
+        for w in range(0, ln, 32):
+            msg[w + 31] = (0x37 + w) & 0xFF
+            msg[w + 30] = ((0x37 + w) >> 8) & 0xFF
+        assert res.return_data == keccak256(bytes(msg[:ln]))
+        # every in-table constraint holds
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return res
+
+    def test_two_blocks(self):
+        self._roundtrip(160)  # 136 < 160: phase-4 8-byte word + block 2
+
+    def test_three_blocks(self):
+        self._roundtrip(300, log_rows=10)
+
+    def test_odd_length(self):
+        self._roundtrip(67)  # partial chunk mid-block
+
+    def test_exact_block_boundary(self):
+        self._roundtrip(136)  # padding forces a second sponge block
+
+    def test_empty_message(self):
+        from ethproof_tpu.hash.keccak import keccak256
+
+        code = E.asm(("push", 0), ("push", 0), E.KECCAK256,
+                     ("push", 0), E.MSTORE, ("push", 32), ("push", 0),
+                     E.RETURN)
+        shape, res = run(code)
+        assert res.return_data == keccak256(b"")
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+
+    def test_gas_word_cost(self):
+        res = self._roundtrip(160)
+        # 15 pushes + 5 mstores (3 + expansion) + keccak 30 + 6*5
+        # + expansion to 5 words + final mstore/return handling
+        lay_gas = res.pi_words[-3]
+        assert lay_gas == res.gas_used
+        assert res.gas_used > 30 + 6 * 5  # word cost present
+
+    def test_ctl_multisets_multiblock(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_evm_e2e import ctl_multisets_ok, make_traces
+
+        from ethproof_tpu.tables import all as A
+
+        code = self._hash_prog(160)
+        shape, _inputs, res = E.discover_and_execute(
+            code, b"", 0xC0FFEE, 0, {}, 9
+        )
+        counts = A.evm_table_counts(shape, res)
+        sizes = A.TableSizes(
+            cpu=shape.log_rows,
+            arithmetic=10,
+            logic=max((counts["logic"] - 1).bit_length(), 4),
+            bytepacking=max(9, (counts["bytepacking"] - 1).bit_length()),
+            memory=max(13, (counts["memory"] - 1).bit_length()),
+            keccak=max(7, (counts["keccak"] - 1).bit_length()),
+            keccak_sponge=max(8, (counts["keccak_sponge"] - 1).bit_length()),
+        )
+        machine = E.EvmStark(shape)
+        traces = make_traces(shape, res, sizes)
+        starks = A.all_starks(machine, with_keccak=True)
+        problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
+        assert problems == [], problems

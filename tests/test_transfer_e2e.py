@@ -69,11 +69,22 @@ def make_transfer_witness(
     gas_price=0,
     sender_bal=40,
     tamper_root=False,
-    gas_used=21000,
     recipient_is_sender=False,
     miner_is_sender=False,
     miner_is_recipient=False,
+    tx_type=0,
+    base_fee=0,
+    priority_fee=0,
 ):
+    """tx_type 2 treats gas_price as max_fee_per_gas; the effective price
+    is min(max_fee, base_fee + priority_fee) and base_fee * gas is burned
+    (EIP-1559 fee split, evm/tx.py). gas_used is always the consensus
+    intrinsic 21000 (enforced by derive_pi_words) — nonzero gas_price
+    therefore means fees >= 21000, which needs the 2^16 arithmetic range
+    table when proving (use gas_price=0 in small default-tier proofs)."""
+    gas_used = 21000  # intrinsic gas of an empty-data transfer
+    from ethproof_tpu.evm.tx import sign_eip1559_tx, sign_eip2930_tx
+
     sender = private_key_to_address(PK)
     recipient = sender if recipient_is_sender else b"\xbb" * 20
     miner = (
@@ -85,15 +96,28 @@ def make_transfer_witness(
         state.insert(_key(recipient), _acct(0, 30))
     if miner not in (sender, recipient):
         state.insert(_key(miner), _acct(0, 7))
-    raw = sign_legacy_tx(4, gas_price, 21000, recipient, value, b"", PK, chain_id=1)
-    fee = gas_price * gas_used
-    # sequential EVM semantics: deduct value+fee, credit value, credit fee
+    if tx_type == 0:
+        raw = sign_legacy_tx(4, gas_price, 21000, recipient, value, b"", PK, chain_id=1)
+        effective = gas_price
+    elif tx_type == 1:
+        raw = sign_eip2930_tx(1, 4, gas_price, 21000, recipient, value, b"", PK)
+        effective = gas_price
+    elif tx_type == 2:
+        raw = sign_eip1559_tx(
+            1, 4, priority_fee, gas_price, 21000, recipient, value, b"", PK
+        )
+        effective = min(gas_price, base_fee + priority_fee)
+    else:
+        raise ValueError(tx_type)
+    fee = effective * gas_used
+    tip = (effective - base_fee) * gas_used
+    # sequential EVM semantics: deduct value+fee, credit value, credit tip
     balances = {sender: sender_bal}
     balances.setdefault(recipient, 30)
     balances.setdefault(miner, 7)
     balances[sender] -= value + fee
     balances[recipient] += value
-    balances[miner] += fee
+    balances[miner] += tip
     post = state.copy()
     post.insert(_key(sender), _acct(5, balances[sender]))
     if recipient != sender:
@@ -111,7 +135,9 @@ def make_transfer_witness(
         tries=TrieInputs(state_trie=state),
         trie_roots_after=TrieRoots(state_root=root_after),
         checkpoint_state_trie_root=state.hash(),
-        block_metadata=BlockMetadata(block_beneficiary=miner, block_chain_id=1),
+        block_metadata=BlockMetadata(
+            block_beneficiary=miner, block_chain_id=1, block_base_fee=base_fee
+        ),
     )
 
 
@@ -181,24 +207,30 @@ class TestOverlapTransfers:
 
     def test_miner_is_sender_host(self):
         self._host_roundtrip(
-            make_transfer_witness(miner_is_sender=True, gas_price=1, gas_used=30)
+            make_transfer_witness(
+                miner_is_sender=True, gas_price=1, sender_bal=30000
+            )
         )
 
     def test_miner_is_recipient_host(self):
         self._host_roundtrip(
-            make_transfer_witness(miner_is_recipient=True, gas_price=1, gas_used=30)
+            make_transfer_witness(
+                miner_is_recipient=True, gas_price=1, sender_bal=30000
+            )
         )
 
     def test_all_same_party_host(self):
         self._host_roundtrip(
             make_transfer_witness(
                 recipient_is_sender=True, miner_is_sender=True,
-                gas_price=1, gas_used=30,
+                gas_price=1, sender_bal=30000,
             )
         )
 
     def test_miner_is_sender_proof(self):
-        gi = make_transfer_witness(miner_is_sender=True, gas_price=1, gas_used=30)
+        # gas_price=0 keeps balance limbs inside the small range table;
+        # the real-fee overlap proof runs in the slow tier below
+        gi = make_transfer_witness(miner_is_sender=True)
         proof = prove_transfer(gi, CFG, SIZES)
         assert verify_transfer(proof, CFG)
 
@@ -210,10 +242,16 @@ class TestOverlapTransfers:
 
     @pytest.mark.slow
     def test_all_same_party_proof(self):
+        # consensus fee 21000 wei: limbs up to ~30000 need the 2^16
+        # arithmetic range table (same shape as test_binding's slow e2e)
         gi = make_transfer_witness(
-            recipient_is_sender=True, miner_is_sender=True, gas_price=1, gas_used=30
+            recipient_is_sender=True, miner_is_sender=True,
+            gas_price=1, sender_bal=30000,
         )
-        proof = prove_transfer(gi, CFG, SIZES)
+        sizes_fee = TableSizes(
+            cpu=5, arithmetic=16, logic=4, bytepacking=9, memory=7, keccak=None
+        )
+        proof = prove_transfer(gi, CFG, sizes_fee)
         assert verify_transfer(proof, CFG)
 
 
