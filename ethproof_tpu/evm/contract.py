@@ -151,14 +151,32 @@ def machine_inputs_for_tx(
     )
     storage_pre: Dict[int, int] = {}
     caller = int.from_bytes(sender, "big")
+    env = tx_env_words(gi, tx, caller)
     while True:
         try:
             return E.discover_and_execute(
                 code, tx.data, caller, tx.value, storage_pre, log_rows,
-                warm_pre=warm_pre,
+                warm_pre=warm_pre, env=env,
             )
         except E.UnknownStorageKey as miss:
             storage_pre[miss.key] = slot_pre(miss.key)
+
+
+def tx_env_words(gi: GenerationInputs, tx, caller: int) -> Dict[str, int]:
+    """The machine's environment-opcode words, derived from the tx and
+    the block metadata (single-frame: origin == caller)."""
+    bm = gi.block_metadata
+    return {
+        "address": int.from_bytes(tx.to, "big"),
+        "origin": caller,
+        "gasprice": tx.effective_gas_price(bm.block_base_fee),
+        "coinbase": int.from_bytes(bm.block_beneficiary, "big"),
+        "timestamp": bm.block_timestamp,
+        "number": bm.block_number,
+        "gaslimit": bm.block_gaslimit,
+        "chainid": bm.block_chain_id,
+        "basefee": bm.block_base_fee,
+    }
 
 
 def consensus_gas_used(gi: GenerationInputs, res=None) -> int:
@@ -317,7 +335,13 @@ def expected_machine_pi(
         for w in range(shape.n_calldata_words)
     ]
     code_padded = code + b"\0" * (len(code) % 2)
-    pi = [int.from_bytes(sender, "big"), tx.value] + cd_words
+    caller = int.from_bytes(sender, "big")
+    env = tx_env_words(gi, tx, caller)
+    pi = [
+        caller, tx.value, env["address"], env["origin"], env["gasprice"],
+        env["coinbase"], env["timestamp"], env["number"], env["gaslimit"],
+        env["chainid"], env["basefee"],
+    ] + cd_words
     pi.append(le_word(keccak256(code_padded)))
     return pi, sender, tx.to
 
@@ -509,7 +533,10 @@ def machine_logs(proof: ContractCallProof):
         topics = [
             proof.machine_pi[base + t].to_bytes(32, "big") for t in range(nt)
         ]
-        data = proof.machine_pi[base + nt].to_bytes(32, "big")[:dl]
+        data = b"".join(
+            proof.machine_pi[base + nt + w].to_bytes(32, "big")
+            for w in range(E.EvmShape.n_data_words(dl))
+        )[:dl]
         out.append((proof.to, topics, data))
     return out
 

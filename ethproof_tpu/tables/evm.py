@@ -92,7 +92,7 @@ item is a completeness gap, never a soundness gap):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -111,13 +111,17 @@ LT, GT, EQ, ISZERO = 0x10, 0x11, 0x14, 0x15
 AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
 SHL, SHR = 0x1B, 0x1C
 KECCAK256 = 0x20
-ADDRESS, CALLER, CALLVALUE = 0x30, 0x33, 0x34
+ADDRESS, ORIGIN, CALLER, CALLVALUE = 0x30, 0x32, 0x33, 0x34
 CALLDATALOAD, CALLDATASIZE = 0x35, 0x36
+GASPRICE = 0x3A
+COINBASE, TIMESTAMP, NUMBER = 0x41, 0x42, 0x43
+GASLIMIT, CHAINID, BASEFEE = 0x45, 0x46, 0x48
 POP = 0x50
-MLOAD, MSTORE = 0x51, 0x52
+MLOAD, MSTORE, MSTORE8 = 0x51, 0x52, 0x53
 SLOAD, SSTORE = 0x54, 0x55
 JUMP, JUMPI = 0x56, 0x57
 PC_OP = 0x58
+MSIZE = 0x59
 JUMPDEST = 0x5B
 PUSH0 = 0x5F  # PUSH0..PUSH32 = 0x5F + n
 DUP1 = 0x80  # DUP1..DUP16
@@ -140,8 +144,10 @@ STATIC_GAS = {
     STOP: 0, ADD: 3, MUL: 5, SUB: 3, DIV: 5, MOD: 5, ADDMOD: 8, MULMOD: 8,
     LT: 3, GT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3, XOR_: 3, NOT_: 3,
     BYTE_: 3, SHL: 3, SHR: 3, KECCAK256: 0,
-    ADDRESS: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3, CALLDATASIZE: 2,
-    POP: 2, MLOAD: 3, MSTORE: 3, SLOAD: 0, SSTORE: 0,
+    ADDRESS: 2, ORIGIN: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3,
+    CALLDATASIZE: 2, GASPRICE: 2, COINBASE: 2, TIMESTAMP: 2, NUMBER: 2,
+    GASLIMIT: 2, CHAINID: 2, BASEFEE: 2,
+    POP: 2, MLOAD: 3, MSTORE: 3, MSTORE8: 3, MSIZE: 2, SLOAD: 0, SSTORE: 0,
     JUMP: 8, JUMPI: 10, PC_OP: 2, JUMPDEST: 1, RETURN: 0, REVERT: 0,
 }
 
@@ -189,7 +195,8 @@ class UnknownStorageKey(Exception):
 # -- shape (fixes the circuit) -------------------------------------------------
 
 
-MAX_LOGS = 4  # LSEL selector bank width (envelope: <= 4 LOG events/frame)
+MAX_LOGS = 8  # LSEL selector bank width (envelope: <= 8 LOG events/frame)
+MAX_LOG_DATA = 256  # bytes; words beyond the first stage on LOGD rows
 
 
 @dataclass(frozen=True)
@@ -202,10 +209,17 @@ class EvmShape:
     n_skeys: int  # touched storage slots
     log_rows: int
     # emitted LOG events in execution order: (n_topics, data_len) each;
-    # topics and one data word per log become public inputs (the
-    # receipts-root binding consumes them, evm/contract.py). Envelope:
-    # data_len <= 32 bytes, at most MAX_LOGS events.
+    # topics and ceil(data_len/32) data words per log become public
+    # inputs (the receipts-root binding consumes them, evm/contract.py).
+    # Envelope: data_len <= MAX_LOG_DATA, at most MAX_LOGS events; data
+    # words beyond the first stage on S_LOGD continuation rows.
     log_shapes: Tuple[Tuple[int, int], ...] = ()
+
+    @staticmethod
+    def n_data_words(dl: int) -> int:
+        """PI data words for a log payload (>= 1 — a zero word when
+        empty, keeping the receipts rebuild uniform)."""
+        return max((dl + 31) // 32, 1)
 
     @property
     def n_calldata_words(self) -> int:
@@ -244,23 +258,28 @@ class EvmShape:
     def n_scan_rows(self) -> int:
         return self.code_len
 
-    # public input words: CALLER, CALLVALUE, CALLDATA..., CODEHASH,
-    # per-key (KEY, WARM0, VPRE, VPOST) — WARM0 is the EIP-2929
-    # access-list pre-warm flag — per-log (topics..., data word),
-    # GAS (frame execution gas, in-circuit metered), REFUND (EIP-3529
-    # counter at halt), SUCCESS
+    # public input words: the environment section (caller, callvalue,
+    # address, origin, gasprice, coinbase, timestamp, number, gaslimit,
+    # chainid, basefee), CALLDATA..., CODEHASH, per-key (KEY, WARM0,
+    # VPRE, VPOST) — WARM0 is the EIP-2929 access-list pre-warm flag —
+    # per-log (topics..., data words), GAS (frame execution gas,
+    # in-circuit metered), REFUND (EIP-3529 counter at halt), SUCCESS
     @property
     def pi_layout(self) -> Dict[str, int]:
-        lay = {"caller": 0, "callvalue": 1, "calldata": 2}
-        at = 2 + self.n_calldata_words
+        lay = {
+            "caller": 0, "callvalue": 1, "address": 2, "origin": 3,
+            "gasprice": 4, "coinbase": 5, "timestamp": 6, "number": 7,
+            "gaslimit": 8, "chainid": 9, "basefee": 10, "calldata": 11,
+        }
+        at = 11 + self.n_calldata_words
         lay["codehash"] = at
         lay["storage"] = at + 1
         at = at + 1 + 4 * self.n_skeys
         lay["logs"] = at
         lay["log_words"] = [None] * len(self.log_shapes)
-        for i, (nt, _dl) in enumerate(self.log_shapes):
+        for i, (nt, dl) in enumerate(self.log_shapes):
             lay["log_words"][i] = at
-            at += nt + 1
+            at += nt + self.n_data_words(dl)
         lay["gas"] = at
         lay["refund"] = at + 1
         lay["success"] = at + 2
@@ -288,6 +307,7 @@ SCAN_COMB = _c.one()  # byte + 256*PUSHLEN + 2^16*IS_JD (logUp-bound)
 SIDX = _c.one()  # storage journal index witness
 LOGIDX = _c.one()  # count of completed LOG events so far
 S_LOGX = _c.one()  # internal: LOG continuation row (topics 3/4)
+S_LOGD = _c.one()  # internal: LOG data-word staging row (words 1..7)
 S_SLX = _c.one()  # internal: SLOAD continuation row (warm-flag journal)
 S_SSX = _c.one()  # internal: SSTORE continuation row (journal writes)
 # -- in-circuit gas (consensus frame gas; see evm/gas.py for the rules)
@@ -339,7 +359,10 @@ KBLK = _c.one()  # completed-block counter within the current hash
 KLEN = _c.one()  # message length, carried from setup through the digest
 KWORDS = _c.one()  # setup row: ceil(len/32) (gas word cost witness)
 KPD = _c.many(5)  # setup row: pad bits for 32*KWORDS = len + pad
-LSEL = _c.many(4)  # one-hot over the log index on LOG/LOGX rows (MAX_LOGS)
+M8B0 = _c.one()  # MSTORE8: low byte of the popped value (byte-checked);
+M8B1 = _c.one()  # second byte (completes the canonical limb-0 split);
+#                  MSIZE reuses the pair for its limb-0 decomposition
+LSEL = _c.many(MAX_LOGS)  # one-hot log index on LOG/LOGX/LOGD rows
 Z = _c.one()  # iszero/eq/jumpi/scan zero-flag (1 on rows that bind no ZS)
 ZINV = _c.one()  # inverse witness for the nonzero branch
 ZS = _c.one()  # the limb-sum whose zeroness Z decides (bound per op)
@@ -381,10 +404,20 @@ SIMPLE_OPS = (
     STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, EQ, ISZERO,
     ADDMOD, MULMOD,
     AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
-    ADDRESS, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
-    POP, MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, PC_OP, JUMPDEST,
-    RETURN, REVERT,
+    ADDRESS, ORIGIN, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
+    GASPRICE, COINBASE, TIMESTAMP, NUMBER, GASLIMIT, CHAINID, BASEFEE,
+    POP, MLOAD, MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
+    PC_OP, JUMPDEST, RETURN, REVERT,
 )
+# environment opcodes and their PI word (pushed verbatim from the env
+# section; the verifier re-derives every word from the tx + block
+# metadata — evm/contract.py expected_machine_pi)
+ENV_OPS = {
+    ADDRESS: "address", ORIGIN: "origin", CALLER: "caller",
+    CALLVALUE: "callvalue", GASPRICE: "gasprice", COINBASE: "coinbase",
+    TIMESTAMP: "timestamp", NUMBER: "number", GASLIMIT: "gaslimit",
+    CHAINID: "chainid", BASEFEE: "basefee",
+}
 SEL = {op: _c.one() for op in SIMPLE_OPS}
 F_PUSH = _c.one()  # PUSH0..32 family
 F_DUP = _c.one()  # DUP1..16
@@ -443,6 +476,16 @@ class EvmInputs:
     storage_pre: Dict[int, int]  # touched key -> pre value (sorted by key)
     # EIP-2929 pre-warmed slots (tx access-list keys for this contract)
     warm_pre: Tuple[int, ...] = ()
+    # environment words (PI-bound; verifier re-derives from tx + block)
+    address: int = 0  # the executing contract
+    origin: int = 0  # tx sender (== caller in the single-frame envelope)
+    gasprice: int = 0  # effective gas price (EIP-1559)
+    coinbase: int = 0
+    timestamp: int = 0
+    number: int = 0
+    gaslimit: int = 0  # block gas limit
+    chainid: int = 0
+    basefee: int = 0
 
 
 @dataclass
@@ -530,7 +573,7 @@ class _Emitter:
 
     def finish_mults(self) -> None:
         assert self.n >= 256, "byte range check needs >= 2^8 rows"
-        byte_cols = list(REVB) + [RB0, RB1, NB0, NB1, RQB]
+        byte_cols = list(REVB) + [RB0, RB1, NB0, NB1, RQB, M8B0, M8B1]
         revb_vals = self.tr[np.asarray(byte_cols, dtype=np.intp)]
         bc = np.bincount(revb_vals.ravel().astype(np.int64), minlength=256)
         assert bc.shape[0] <= 256 or bc[256:].sum() == 0
@@ -570,12 +613,17 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
     code_padded = code + b"\0" * (len(code) % 2)
     codehash = _le_word(keccak256(code_padded))
     warm0 = {k: (1 if k in inputs.warm_pre else 0) for k in skeys}
-    pi_words = [inputs.caller, inputs.callvalue] + cd_words + [codehash]
+    pi_words = [
+        inputs.caller, inputs.callvalue, inputs.address, inputs.origin,
+        inputs.gasprice, inputs.coinbase, inputs.timestamp, inputs.number,
+        inputs.gaslimit, inputs.chainid, inputs.basefee,
+    ] + cd_words + [codehash]
     for k in skeys:
         # (key, warm0, vpre, vpost) — vpost patched below
         pi_words += [k, warm0[k], inputs.storage_pre[k], 0]
-    for nt, _dl in shape.log_shapes:
-        pi_words += [0] * (nt + 1)  # topics + data word, patched on LOG
+    for nt, dl in shape.log_shapes:
+        # topics + data words, patched on LOG
+        pi_words += [0] * (nt + shape.n_data_words(dl))
 
     r = 0
     # -- INIT: one row per calldata word — a bytepacking window WRITES the
@@ -839,14 +887,17 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 raise UnknownLogShape(li, n, ln)
             if li >= MAX_LOGS:
                 raise Unsupported(f"more than {MAX_LOGS} LOG events")
-            if ln > 32:
-                raise Unsupported("LOG data longer than 32 bytes")
+            if ln > MAX_LOG_DATA:
+                raise Unsupported(f"LOG data longer than {MAX_LOG_DATA} bytes")
             meter.charge_log(n, ln)
             meter.charge_mem(ofs, ln)
             touch(r, ofs, ln)
+            dw = (ln + 31) // 32  # real data words (0 for empty payload)
             tr[F_LOG, r] = 1
             tr[NSEL[n], r] = 1
             tr[LSEL[li], r] = 1
+            if dw >= 2:
+                tr[R0, r] = ofs
             em.chan(r, 1, 1, SEG_STACK, sp - 1, ofs)
             em.chan(r, 2, 1, SEG_STACK, sp - 2, ln)
             if n >= 1:
@@ -855,11 +906,15 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 em.chan(r, 4, 1, SEG_STACK, sp - 4, topics[1])
             data = bytes(evm_mem.get(ofs + k, 0) for k in range(ln))
             if ln:
-                em.pack(r, 1, SEG_MAIN, ofs, data)
+                em.pack(r, 1, SEG_MAIN, ofs, data[:32])
             lay_logs = lay["log_words"][li]
             for t in range(n):
                 pi_words[lay_logs + t] = topics[t]
-            pi_words[lay_logs + n] = int.from_bytes(data.ljust(32, b"\0"), "big")
+            for w in range(shape.n_data_words(ln)):
+                chunk = data[32 * w: 32 * w + 32]
+                pi_words[lay_logs + n + w] = int.from_bytes(
+                    chunk.ljust(32, b"\0"), "big"
+                )
             logs.append((topics, data))
             del stack[-2 - n:]
             if n >= 3:
@@ -874,21 +929,50 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 tr[SP, r] = sp
                 tr[HP, r] = hp
                 tr[LOGIDX, r] = li
+                if dw >= 2:
+                    tr[R0, r] = ofs
                 em.chan(r, 1, 1, SEG_STACK, sp - 5, topics[2])
                 if n >= 4:
                     em.chan(r, 2, 1, SEG_STACK, sp - 6, topics[3])
             sp -= 2 + n
+            # data words 1.. stage on LOGD continuation rows
+            for w in range(1, dw):
+                r += 1
+                if r >= budget_end:
+                    raise Unsupported("execution rows exhausted in LOG data")
+                tr[S_LOGD, r] = 1
+                tr[LSEL[li], r] = 1
+                tr[NSEL[w], r] = 1
+                tr[R0, r] = ofs
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[HP, r] = hp
+                tr[LOGIDX, r] = li
+                em.pack(r, 1, SEG_MAIN, ofs + 32 * w, data[32 * w: 32 * w + 32])
         elif op == POP:
             stack.pop()
             sp -= 1  # pure sp drop: dead cell needs no read
         elif op == PC_OP:
             spush(r, 1, pc)
-        elif op == ADDRESS:
-            raise Unsupported("ADDRESS needs the callee context word")
-        elif op == CALLER:
-            spush(r, 1, inputs.caller)
-        elif op == CALLVALUE:
-            spush(r, 1, inputs.callvalue)
+        elif op in ENV_OPS:
+            spush(r, 1, pi_words[lay[ENV_OPS[op]]])
+        elif op == MSIZE:
+            msize = 32 * meter.mem_words
+            tr[M8B0, r] = msize & 0xFF
+            tr[M8B1, r] = (msize >> 8) & 0xFF
+            for b in range(5):
+                tr[PB[b], r] = (msize >> (16 + b)) & 1
+            spush(r, 1, msize)
+        elif op == MSTORE8:
+            ofs = spop(r, 1)
+            val = spop(r, 2)
+            meter.charge_mem(ofs, 1)
+            touch(r, ofs, 1)
+            byte = val & 0xFF
+            tr[M8B0, r] = byte
+            tr[M8B1, r] = (val >> 8) & 0xFF
+            em.pack(r, 0, SEG_MAIN, ofs, bytes([byte]))
+            evm_mem[ofs] = byte
         elif op == CALLDATASIZE:
             spush(r, 1, shape.calldata_len)
         elif op == CALLDATALOAD:
@@ -1178,10 +1262,12 @@ def discover_and_execute(
     storage_pre: Dict[int, int],
     log_rows: int,
     warm_pre: Tuple[int, ...] = (),
+    env: Optional[Dict[str, int]] = None,
 ) -> Tuple[EvmShape, EvmInputs, EvmResult]:
     """Run the host interpreter, growing the shape's log list on
     UnknownLogShape misses (storage discovery is the caller's job —
-    evm/contract.py reads missing slots from the witness trie)."""
+    evm/contract.py reads missing slots from the witness trie). `env`
+    carries the environment-opcode words (EvmInputs field names)."""
     log_shapes: List[Tuple[int, int]] = []
     while True:
         shape = EvmShape(
@@ -1193,7 +1279,7 @@ def discover_and_execute(
         )
         inputs = EvmInputs(
             code, calldata, caller, callvalue, dict(storage_pre),
-            warm_pre=warm_pre,
+            warm_pre=warm_pre, **(env or {}),
         )
         try:
             return shape, inputs, execute_evm(shape, inputs)
@@ -1262,8 +1348,11 @@ _SP_DELTA = {
     EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
     SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
     CALLDATALOAD: 0, CALLDATASIZE: 1, POP: -1, MLOAD: 0, MSTORE: -2,
+    MSTORE8: -2, MSIZE: 1,
     SLOAD: 0, SSTORE: -2, JUMP: -1, JUMPI: -2, PC_OP: 1, JUMPDEST: 0,
-    RETURN: -2, REVERT: -2, ADDRESS: 1,
+    RETURN: -2, REVERT: -2, ADDRESS: 1, ORIGIN: 1, GASPRICE: 1,
+    COINBASE: 1, TIMESTAMP: 1, NUMBER: 1, GASLIMIT: 1, CHAINID: 1,
+    BASEFEE: 1,
 }
 _PC_ADV = {op: 1 for op in SIMPLE_OPS}
 _PC_ADV[JUMP] = 0  # handled by the jump correction term
@@ -1319,7 +1408,7 @@ class EvmStark(Stark):
         self.lookups = [
             LookupSpec(
                 # REVB plus the gas circuit's byte-decomposition columns
-                looking_cols=tuple(REVB) + (RB0, RB1, NB0, NB1, RQB),
+                looking_cols=tuple(REVB) + (RB0, RB1, NB0, NB1, RQB, M8B0, M8B1),
                 table_col=NUM_COLUMNS + self.F_BYTE,
                 multiplicity_col=BYTE_MULT,
             ),
@@ -1543,7 +1632,8 @@ class EvmStark(Stark):
         # -- booleans
         bools = (
             [HALTED, Z, F_PUSH, F_DUP, F_SWAP, F_LOG, S_KPACK, S_KDIG,
-             S_LOGX, S_SLX, S_SSX, SP_FIRST, SP_FINAL, IS_PACK, PACK_WRITE,
+             S_LOGX, S_LOGD, S_SLX, S_SSX, SP_FIRST, SP_FINAL, IS_PACK,
+             PACK_WRITE,
              AR_PLAIN, AR_SWAP, LG_PLAIN, IS_JD,
              GROW, RQBIT, E_VC, E_CO, E_VO, EO0, EV0, FULLC]
             + list(PB) + list(KP) + list(KPD)
@@ -1572,10 +1662,10 @@ class EvmStark(Stark):
         for op in SIMPLE_OPS:
             simple_sum = sel[op] if simple_sum is None else o.add(simple_sum, sel[op])
         fam_sum = o.add(o.add(fpush, fdup), o.add(fswap, flog))
-        logx = L(S_LOGX)
+        logx, logd = L(S_LOGX), L(S_LOGD)
         all_sum = o.add(
             o.add(o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)),
-            o.add(slx, ssx),
+            o.add(o.add(slx, ssx), logd),
         )
         c.constraint(o.sub(all_sum, act))
         nsel_sum = None
@@ -1584,17 +1674,23 @@ class EvmStark(Stark):
             nsel_sum = nsel[n] if nsel_sum is None else o.add(nsel_sum, nsel[n])
             t = o.mul(const(n), nsel[n])
             nlin = t if nlin is None else o.add(nlin, t)
-        c.constraint(o.sub(nsel_sum, fam_sum))
-        # family n ranges: DUP/SWAP 1..16, LOG 0..4
+        # NSEL doubles as the LOGD data-word index (1..7)
+        c.constraint(o.sub(nsel_sum, o.add(fam_sum, logd)))
+        # family n ranges: DUP/SWAP 1..16, LOG 0..4, LOGD words 1..7
         c.constraint(o.mul(o.add(fdup, fswap), nsel[0]))
         for n in range(17, 33):
             c.constraint(o.mul(o.add(fdup, fswap), nsel[n]))
         for n in range(5, 33):
             c.constraint(o.mul(flog, nsel[n]))
+        c.constraint(o.mul(logd, nsel[0]))
+        for n in range(8, 33):
+            c.constraint(o.mul(logd, nsel[n]))
 
         # -- fetch channel 0
         ch0u = L(CH_USED[0])
-        non_fetch = o.add(o.add(kpack, kdig), o.add(logx, o.add(slx, ssx)))
+        non_fetch = o.add(
+            o.add(o.add(kpack, kdig), o.add(logx, logd)), o.add(slx, ssx)
+        )
         c.constraint(o.sub(ch0u, o.sub(act, non_fetch)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_SEG[0]), const(SEG_CODE))))
@@ -1639,19 +1735,19 @@ class EvmStark(Stark):
         ] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
-                       ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLER,
-                       CALLVALUE, CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
-                       MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD, MULMOD,
-                       RETURN, REVERT)
-        ]
+                       ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256,
+                       CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
+                       MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
+                       ADDMOD, MULMOD, RETURN, REVERT)
+        ] + [sel[op] for op in ENV_OPS]
         ch2_users = [
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
         ] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
-                       MLOAD, MSTORE, SLOAD, SSTORE, JUMP, JUMPI, ADDMOD,
-                       MULMOD, RETURN, REVERT)
+                       MLOAD, MSTORE, MSTORE8, SLOAD, SSTORE, JUMP, JUMPI,
+                       ADDMOD, MULMOD, RETURN, REVERT)
         ]
         ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
@@ -2036,17 +2132,54 @@ class EvmStark(Stark):
         bind_word_eq(fswap, 3, 2)
         bind_word_eq(fswap, 4, 1)
 
-        # -- environment pushes
-        for op, word in ((CALLER, 0), (CALLVALUE, 1)):
+        # -- environment pushes (each binds a PI word from the env section)
+        for op, word_name in ENV_OPS.items():
             g = sel[op]
             bind(g, 1, 0, const(SEG_STACK), sp)
-            bind_word_pi(g, 1, word)
+            bind_word_pi(g, 1, lay[word_name])
         g = sel[CALLDATASIZE]
         bind(g, 1, 0, const(SEG_STACK), sp)
         bind_byte(g, 1, const(s.calldata_len))
         g = sel[PC_OP]
         bind(g, 1, 0, const(SEG_STACK), sp)
         bind_byte(g, 1, pc)
+        # MSIZE: push 32*MW (the high-water mark in bytes); canonical
+        # limbs via the M8B byte pair (limb 0) and the PB bits (limb 1)
+        g = sel[MSIZE]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        msz_l0 = o.add(L(M8B0), o.mul(const(256), L(M8B1)))
+        msz_l1 = None
+        for b in range(5):
+            t = o.mul(const(1 << b), L(PB[b]))
+            msz_l1 = t if msz_l1 is None else o.add(msz_l1, t)
+        c.constraint(o.mul(g, o.sub(L(CH_VAL[1][0]), msz_l0)))
+        c.constraint(o.mul(g, o.sub(L(CH_VAL[1][1]), msz_l1)))
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(g, L(CH_VAL[1][k])))
+        c.constraint(
+            o.mul(
+                g,
+                o.sub(
+                    o.add(msz_l0, o.mul(const(1 << 16), msz_l1)),
+                    o.mul(const(32), L(MW)),
+                ),
+            )
+        )
+        # MSTORE8: pop (offset, value), write value's low byte
+        m8 = sel[MSTORE8]
+        bind(m8, 1, 1, const(SEG_STACK), spm(1))
+        bind(m8, 2, 1, const(SEG_STACK), spm(2))
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(m8, L(CH_VAL[1][k])))
+        c.constraint(
+            o.mul(
+                m8,
+                o.sub(L(CH_VAL[2][0]), o.add(L(M8B0), o.mul(const(256), L(M8B1)))),
+            )
+        )
+        c.constraint(o.mul(m8, o.sub(revb[0], L(M8B0))))
+        for i in range(1, 32):
+            c.constraint(o.mul(m8, revb[i]))
 
         # -- CALLDATALOAD / MLOAD / MSTORE (bytepacking window ops)
         scdl, sml, sms = sel[CALLDATALOAD], sel[MLOAD], sel[MSTORE]
@@ -2067,11 +2200,11 @@ class EvmStark(Stark):
                 L(IS_PACK),
                 o.add(
                     o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
-                    log_data,
+                    o.add(o.add(log_data, logd), m8),
                 ),
             )
         )
-        c.constraint(o.sub(L(PACK_WRITE), o.add(sms, pre_packs)))
+        c.constraint(o.sub(L(PACK_WRITE), o.add(o.add(sms, m8), pre_packs)))
         seg_expr = o.add(
             o.add(
                 o.mul(push_packs, const(SEG_CODE)),
@@ -2083,37 +2216,60 @@ class EvmStark(Stark):
                     o.mul(f_rp, const(SEG_CODE)),
                 ),
                 o.mul(
-                    o.add(o.add(o.add(sml, sms), kpack), log_data),
+                    o.add(
+                        o.add(o.add(sml, sms), o.add(kpack, m8)),
+                        o.add(log_data, logd),
+                    ),
                     const(SEG_MAIN),
                 ),
             ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_SEG)), seg_expr))
+        # LOGD rows pack data word NSEL at base offset R0 (carried from
+        # the LOG row's popped offset)
         virt_expr = o.add(
             o.add(
                 o.mul(push_packs, o.add(pc, one)),
-                o.mul(window_pop, ofs32),
+                o.mul(o.add(window_pop, m8), ofs32),
             ),
             o.add(
                 o.add(o.mul(kpack, L(R0)), o.mul(pre_packs, F(self.F_A1))),
-                o.mul(log_data, ofs32),
+                o.add(
+                    o.mul(log_data, ofs32),
+                    o.add(o.mul(logd, L(R0)), o.mul(const(32), o.mul(logd, nlin))),
+                ),
             ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_VIRT)), virt_expr))
+        # pack lengths: the LOG row stages min(32, dl) bytes; LOGD row w
+        # stages min(32, dl - 32w)
         log_len = None
         for i in range(len(s.log_shapes)):
             if dl_of[i] > 0:
-                t = o.mul(o.mul(flog, lsel[i]), const(dl_of[i]))
+                t = o.mul(o.mul(flog, lsel[i]), const(min(32, dl_of[i])))
                 log_len = t if log_len is None else o.add(log_len, t)
+        logd_len = None
+        for i in range(len(s.log_shapes)):
+            dwi = (dl_of[i] + 31) // 32
+            for w in range(1, dwi):
+                # logd-gated: (lsel, nsel) pairs also occur on LOG rows
+                t = o.mul(
+                    o.mul(logd, o.mul(lsel[i], nsel[w])),
+                    const(min(32, dl_of[i] - 32 * w)),
+                )
+                logd_len = t if logd_len is None else o.add(logd_len, t)
         len_expr = o.add(
             o.add(
                 o.add(
                     o.mul(o.add(push_packs, window_pop), const(32)),
-                    L(CSW),  # kpack rows: the staged chunk size
+                    o.add(L(CSW), m8),  # kpack chunk size; MSTORE8 = 1 byte
                 ),
                 o.mul(pre_packs, F(self.F_PLEN)),
             ),
-            log_len if log_len is not None else zero,
+            o.add(
+                log_len if log_len is not None else zero,
+                logd_len if logd_len is not None else zero,
+            ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_LEN)), len_expr))
 
@@ -2314,13 +2470,32 @@ class EvmStark(Stark):
                     c.constraint(o.mul(o.mul(logx, lsel[i]), o.sub(
                         L(CH_VAL[2][k]),
                         ctx.public_input(16 * (base_w + 3) + k))))
-                # data word: big-endian composition of the packed bytes
+                # data word 0: big-endian composition of the packed bytes
                 if dl > 0:
                     c.constraint(o.mul(o.mul(flog, lsel[i]), o.sub(
                         v_limb(k), ctx.public_input(16 * (base_w + nt) + k))))
                 else:
                     c.constraint(o.mul(o.mul(flog, lsel[i]),
                                        ctx.public_input(16 * (base_w + nt) + k)))
+        # LOGD rows: data word NSEL binds to its per-log PI word (the PI
+        # combination is a scalar, so the gated constraint stays deg 3)
+        dw_of = [(dl + 31) // 32 for dl in dl_of]
+        for k in range(N_LIMBS):
+            combo = None
+            for i in range(len(s.log_shapes)):
+                for w in range(1, dw_of[i]):
+                    piv = ctx.public_input(16 * (lay_lw[i] + nt_of[i] + w) + k)
+                    t = o.mul(o.mul(lsel[i], nsel[w]), piv)
+                    combo = t if combo is None else o.add(combo, t)
+            if combo is not None:
+                c.constraint(o.mul(logd, o.sub(v_limb(k), combo)))
+        # forbid LOGD word indices beyond a log's payload
+        for i in range(len(s.log_shapes)):
+            for w in range(max(dw_of[i], 1), 8):
+                c.constraint(o.mul(logd, o.mul(lsel[i], nsel[w])))
+        if not s.log_shapes:
+            c.constraint(logd)
+
         # LOGX phase: follows exactly the LOG rows with >= 3 topics
         c.constraint_transition(
             o.mul(N(S_LOGX), o.sub(o.mul(flog, nsel_ge3), one))
@@ -2328,9 +2503,54 @@ class EvmStark(Stark):
         c.constraint_transition(
             o.mul(o.mul(flog, nsel_ge3), o.sub(one, N(S_LOGX)))
         )
-        # log counter + index selector
+        # LOGD phase: enter after the log's last topic row when the
+        # payload has more than one word; continue while words remain
+        logd_enter = None
+        for i in range(len(s.log_shapes)):
+            if dw_of[i] < 2:
+                continue
+            head = logx if nt_of[i] >= 3 else flog
+            t = o.mul(head, lsel[i])
+            logd_enter = t if logd_enter is None else o.add(logd_enter, t)
+        logd_enter = logd_enter if logd_enter is not None else zero
+        logd_cont = None
+        for i in range(len(s.log_shapes)):
+            for w in range(1, dw_of[i] - 1):
+                t = o.mul(logd, o.mul(lsel[i], nsel[w]))
+                logd_cont = t if logd_cont is None else o.add(logd_cont, t)
+        logd_cont = logd_cont if logd_cont is not None else zero
+        c.constraint_transition(
+            o.sub(N(S_LOGD), o.add(logd_enter, logd_cont))
+        )
+        # first data word is 1; consecutive LOGD rows increment it
+        c.constraint_transition(o.mul(logd_enter, o.sub(N(NSEL[1]), one)))
+        for w in range(1, 7):
+            c.constraint_transition(
+                o.mul(o.mul(logd, N(S_LOGD)), o.sub(N(NSEL[w + 1]), nsel[w]))
+            )
+        # the staging base offset rides R0 across the whole sequence
+        logd_multi = None
+        for i in range(len(s.log_shapes)):
+            if dw_of[i] >= 2:
+                t = o.mul(flog, lsel[i])
+                logd_multi = t if logd_multi is None else o.add(logd_multi, t)
+        if logd_multi is not None:
+            c.constraint(o.mul(logd_multi, o.sub(L(R0), ofs32)))
+            c.constraint_transition(o.mul(N(S_LOGX), o.sub(N(R0), L(R0))))
+            c.constraint_transition(o.mul(N(S_LOGD), o.sub(N(R0), L(R0))))
+
+        # log counter + index selector: a log completes at its LAST row
         c.constraint_first_row(L(LOGIDX))
-        completion = o.add(o.mul(flog, nsel_le2), logx)
+        completion = None
+        for i in range(len(s.log_shapes)):
+            if dw_of[i] >= 2:
+                t = o.mul(logd, o.mul(lsel[i], nsel[dw_of[i] - 1]))
+            elif nt_of[i] >= 3:
+                t = o.mul(logx, lsel[i])
+            else:
+                t = o.mul(flog, lsel[i])
+            completion = t if completion is None else o.add(completion, t)
+        completion = completion if completion is not None else zero
         c.constraint_transition(
             o.sub(N(LOGIDX), o.add(L(LOGIDX), completion))
         )
@@ -2342,10 +2562,11 @@ class EvmStark(Stark):
             lidx = t if lidx is None else o.add(lidx, t)
         lsum = lsum if lsum is not None else zero
         lidx = lidx if lidx is not None else zero
-        c.constraint(o.sub(lsum, o.add(flog, logx)))
-        c.constraint(o.mul(o.add(flog, logx), o.sub(lidx, L(LOGIDX))))
+        log_rows_all = o.add(o.add(flog, logx), logd)
+        c.constraint(o.sub(lsum, log_rows_all))
+        c.constraint(o.mul(log_rows_all, o.sub(lidx, L(LOGIDX))))
         # unused LSEL slots (beyond the shape's log count) stay zero
-        for i in range(len(s.log_shapes), 4):
+        for i in range(len(s.log_shapes), MAX_LOGS):
             c.constraint(L(LSEL[i]))
 
         # -- halting + success; RETURN/REVERT pop (offset, length) for
@@ -2387,7 +2608,9 @@ class EvmStark(Stark):
                 pc_adv = t if pc_adv is None else o.add(pc_adv, t)
         pc_adv = o.add(pc_adv, o.mul(fpush, o.add(one, nlin)))
         pc_adv = o.add(pc_adv, o.add(fdup, fswap))
-        pc_adv = o.add(pc_adv, o.add(o.mul(flog, nsel_le2), logx))
+        # a LOG sequence advances pc on its completion row (LOG, LOGX, or
+        # the final LOGD data word — same expression as LOGIDX)
+        pc_adv = o.add(pc_adv, completion)
         pc_adv = o.add(pc_adv, o.add(kdig, o.add(slx, ssx)))
         pc_adv = o.add(pc_adv, o.mul(sj, o.sub(L(CH_VAL[1][0]), pc)))
         pc_adv = o.add(
@@ -2427,7 +2650,7 @@ class EvmStark(Stark):
 
         # -- memory touch rows: TCH = ops that touch SEG_MAIN, length > 0
         tch_def = acc(
-            [sml, sms],
+            [sml, sms, m8],
             o.add(
                 log_data,
                 o.mul(o.add(retrev, skec), o.sub(one, z)),
@@ -2448,10 +2671,20 @@ class EvmStark(Stark):
             L(CH_VAL[1][0]), o.mul(const(1 << 16), L(CH_VAL[1][1]))
         )
         len16 = o.add(L(CH_VAL[2][0]), o.mul(const(1 << 16), L(CH_VAL[2][1])))
+        # memory expansion covers the FULL log payload (the pack length
+        # `log_len` is only the first staged window)
+        log_full = None
+        for i in range(len(s.log_shapes)):
+            if dl_of[i] > 0:
+                t = o.mul(o.mul(flog, lsel[i]), const(dl_of[i]))
+                log_full = t if log_full is None else o.add(log_full, t)
         len_expr = o.add(
-            o.add(o.mul(acc([sml, sms]), const(32)), o.mul(skec, L(CH_VAL[2][0]))),
             o.add(
-                log_len if log_len is not None else zero,
+                o.add(o.mul(acc([sml, sms]), const(32)), m8),
+                o.mul(skec, L(CH_VAL[2][0])),
+            ),
+            o.add(
+                log_full if log_full is not None else zero,
                 o.mul(retrev, len16),
             ),
         )

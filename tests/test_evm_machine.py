@@ -390,3 +390,144 @@ class TestKeccakMultiBlock:
         starks = A.all_starks(machine, with_keccak=True)
         problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
         assert problems == [], problems
+
+
+class TestLogWideEnvelope:
+    """LOG payloads beyond one word (S_LOGD staging rows) and more than
+    4 events (round-2 envelope gaps)."""
+
+    def _sat(self, code, **kw):
+        shape, res = run(code, **kw)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return shape, res
+
+    def test_log_96_byte_payload(self):
+        # three data words; LOG2 also exercises topics alongside LOGD
+        code = E.asm(
+            ("push", 0x11), ("push", 0), E.MSTORE,
+            ("push", 0x22), ("push", 32), E.MSTORE,
+            ("push", 0x33), ("push", 64), E.MSTORE,
+            ("push", 0xBEEF), ("push", 0xCAFE),
+            ("push", 96), ("push", 0), E.LOG0 + 2,
+            E.STOP,
+        )
+        shape, res = self._sat(code)
+        assert shape.log_shapes == ((2, 96),)
+        topics, data = res.logs[0]
+        assert topics == [0xCAFE, 0xBEEF]
+        assert len(data) == 96
+        assert data[31] == 0x11 and data[63] == 0x22 and data[95] == 0x33
+        # PI carries three data words
+        lay = shape.pi_layout
+        base = lay["log_words"][0]
+        assert res.pi_words[base + 2] == 0x11
+        assert res.pi_words[base + 3] == 0x22
+        assert res.pi_words[base + 4] == 0x33
+
+    def test_log4_with_multiword_data(self):
+        # LOGX (topics 3/4) followed by LOGD rows in one sequence
+        code = E.asm(
+            ("push", 0x77), ("push", 0), E.MSTORE,
+            ("push", 4), ("push", 3), ("push", 2), ("push", 1),
+            ("push", 64), ("push", 0), E.LOG0 + 4,
+            ("push", 9), ("push", 0), ("push", 0), E.LOG0 + 1,
+            E.STOP,
+        )
+        shape, res = self._sat(code)
+        assert shape.log_shapes == ((4, 64), (1, 0))
+        assert res.logs[0][0] == [1, 2, 3, 4]
+        assert len(res.logs[0][1]) == 64
+        assert res.logs[1] == ([9], b"")
+
+    def test_six_logs(self):
+        items = []
+        for t in range(6):
+            items += [("push", t + 1), ("push", 0), ("push", 0), E.LOG0 + 1]
+        code = E.asm(*items, E.STOP)
+        shape, res = self._sat(code)
+        assert len(res.logs) == 6
+
+    def test_forged_logd_word_rejected(self):
+        code = E.asm(
+            ("push", 0x11), ("push", 0), E.MSTORE,
+            ("push", 0x22), ("push", 32), E.MSTORE,
+            ("push", 64), ("push", 0), E.LOG0,
+            E.STOP,
+        )
+        shape, res = run(code)
+        stark = E.EvmStark(shape)
+        pis = pi_limbs(res.pi_words)
+        lay = shape.pi_layout
+        pis[16 * (lay["log_words"][0] + 1)] += 1  # forge data word 1
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_gas_covers_full_payload(self):
+        code = E.asm(
+            ("push", 0x11), ("push", 0), E.MSTORE,
+            ("push", 0x22), ("push", 32), E.MSTORE,
+            ("push", 64), ("push", 0), E.LOG0,
+            E.STOP,
+        )
+        _, res = run(code)
+        # 6 pushes + 2 mstores (3 + expansion to 2 words) + LOG0 with
+        # 64 data bytes
+        from ethproof_tpu.evm.gas import memory_cost
+
+        want = 6 * 3 + 3 + 3 + memory_cost(2) + (375 + 8 * 64)
+        assert res.gas_used == want
+
+
+class TestEnvOpcodes:
+    """Environment opcodes push PI-bound words; MSIZE/MSTORE8 round the
+    memory model out (round-2 opcode-coverage widening)."""
+
+    def test_env_pushes(self):
+        env = dict(address=0xAA, origin=0xC0FFEE, gasprice=7, coinbase=0xCB,
+                   timestamp=1700000000, number=19_000_000,
+                   gaslimit=30_000_000, chainid=1, basefee=5)
+        code = E.asm(
+            E.ADDRESS, E.ORIGIN, E.GASPRICE, E.COINBASE, E.TIMESTAMP,
+            E.NUMBER, E.GASLIMIT, E.CHAINID, E.BASEFEE,
+            # fold all nine into memory so RETURN exposes a checksum
+            E.ADD, E.ADD, E.ADD, E.ADD, E.ADD, E.ADD, E.ADD, E.ADD,
+            ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, _inputs, res = E.discover_and_execute(
+            code, b"", 0xC0FFEE, 0, {}, 9, env=env,
+        )
+        want = sum(env.values())
+        assert int.from_bytes(res.return_data, "big") == want
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        # tampering any env word breaks the PI binding
+        pis = pi_limbs(res.pi_words)
+        pis[16 * shape.pi_layout["timestamp"]] += 1
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_mstore8_and_msize(self):
+        code = E.asm(
+            ("push", 0x1234), ("push", 31), E.MSTORE8,  # writes 0x34
+            E.MSIZE,  # 32 (one word)
+            ("push", 95), E.MSTORE8,  # MSIZE=32 written at 95 -> 3 words
+            E.MSIZE, E.POP,
+            ("push", 0), E.MLOAD,
+            ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res = run(code)
+        assert res.return_data[31] == 0x34
+        _, _inputs = None, None
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+
+    def test_msize_gas(self):
+        from ethproof_tpu.evm.gas import memory_cost
+
+        code = E.asm(("push", 7), ("push", 40), E.MSTORE8, E.MSIZE, E.POP,
+                     E.STOP)
+        _, res = run(code)
+        # 2 pushes + mstore8 (3 + expansion to 2 words) + msize 2 + pop 2
+        assert res.gas_used == 6 + 3 + memory_cost(2) + 2 + 2

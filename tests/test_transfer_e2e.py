@@ -227,17 +227,23 @@ class TestOverlapTransfers:
             )
         )
 
+    # overlap kernels carry duplication asserts on top of the tip split,
+    # pushing past 2^5 cpu rows
+    SIZES_OVL = TableSizes(
+        cpu=6, arithmetic=6, logic=4, bytepacking=9, memory=7, keccak=None
+    )
+
     def test_miner_is_sender_proof(self):
         # gas_price=0 keeps balance limbs inside the small range table;
         # the real-fee overlap proof runs in the slow tier below
         gi = make_transfer_witness(miner_is_sender=True)
-        proof = prove_transfer(gi, CFG, SIZES)
+        proof = prove_transfer(gi, CFG, self.SIZES_OVL)
         assert verify_transfer(proof, CFG)
 
     @pytest.mark.slow
     def test_self_transfer_proof(self):
         gi = make_transfer_witness(recipient_is_sender=True)
-        proof = prove_transfer(gi, CFG, SIZES)
+        proof = prove_transfer(gi, CFG, self.SIZES_OVL)
         assert verify_transfer(proof, CFG)
 
     @pytest.mark.slow
@@ -249,7 +255,7 @@ class TestOverlapTransfers:
             gas_price=1, sender_bal=30000,
         )
         sizes_fee = TableSizes(
-            cpu=5, arithmetic=16, logic=4, bytepacking=9, memory=7, keccak=None
+            cpu=6, arithmetic=16, logic=4, bytepacking=9, memory=7, keccak=None
         )
         proof = prove_transfer(gi, CFG, sizes_fee)
         assert verify_transfer(proof, CFG)
