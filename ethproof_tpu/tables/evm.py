@@ -112,8 +112,10 @@ AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
 SHL, SHR = 0x1B, 0x1C
 KECCAK256 = 0x20
 ADDRESS, ORIGIN, CALLER, CALLVALUE = 0x30, 0x32, 0x33, 0x34
-CALLDATALOAD, CALLDATASIZE = 0x35, 0x36
+CALLDATALOAD, CALLDATASIZE, CALLDATACOPY = 0x35, 0x36, 0x37
+CODECOPY = 0x39
 GASPRICE = 0x3A
+RETURNDATASIZE = 0x3D
 COINBASE, TIMESTAMP, NUMBER = 0x41, 0x42, 0x43
 GASLIMIT, CHAINID, BASEFEE = 0x45, 0x46, 0x48
 POP = 0x50
@@ -145,7 +147,8 @@ STATIC_GAS = {
     LT: 3, GT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3, XOR_: 3, NOT_: 3,
     BYTE_: 3, SHL: 3, SHR: 3, KECCAK256: 0,
     ADDRESS: 2, ORIGIN: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3,
-    CALLDATASIZE: 2, GASPRICE: 2, COINBASE: 2, TIMESTAMP: 2, NUMBER: 2,
+    CALLDATASIZE: 2, CALLDATACOPY: 3, CODECOPY: 3, RETURNDATASIZE: 2,
+    GASPRICE: 2, COINBASE: 2, TIMESTAMP: 2, NUMBER: 2,
     GASLIMIT: 2, CHAINID: 2, BASEFEE: 2,
     POP: 2, MLOAD: 3, MSTORE: 3, MSTORE8: 3, MSIZE: 2, SLOAD: 0, SSTORE: 0,
     JUMP: 8, JUMPI: 10, PC_OP: 2, JUMPDEST: 1, RETURN: 0, REVERT: 0,
@@ -310,6 +313,8 @@ S_LOGX = _c.one()  # internal: LOG continuation row (topics 3/4)
 S_LOGD = _c.one()  # internal: LOG data-word staging row (words 1..7)
 S_SLX = _c.one()  # internal: SLOAD continuation row (warm-flag journal)
 S_SSX = _c.one()  # internal: SSTORE continuation row (journal writes)
+S_CPR = _c.one()  # internal: copy read row (CALLDATACOPY/CODECOPY)
+S_CPW = _c.one()  # internal: copy write row (REVB carried from S_CPR)
 # -- in-circuit gas (consensus frame gas; see evm/gas.py for the rules)
 GAS = _c.one()  # running execution gas (first row 0, bound to PI at end)
 REFUND = _c.one()  # running EIP-3529 refund counter (bound to PI at end)
@@ -405,6 +410,7 @@ SIMPLE_OPS = (
     ADDMOD, MULMOD,
     AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
     ADDRESS, ORIGIN, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
+    CALLDATACOPY, CODECOPY, RETURNDATASIZE,
     GASPRICE, COINBASE, TIMESTAMP, NUMBER, GASLIMIT, CHAINID, BASEFEE,
     POP, MLOAD, MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
     PC_OP, JUMPDEST, RETURN, REVERT,
@@ -956,6 +962,61 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             spush(r, 1, pc)
         elif op in ENV_OPS:
             spush(r, 1, pi_words[lay[ENV_OPS[op]]])
+        elif op == RETURNDATASIZE:
+            spush(r, 1, 0)  # no inner calls in the envelope
+        elif op in (CALLDATACOPY, CODECOPY):
+            dest = spop(r, 1)
+            src = spop(r, 2)
+            ln = spop(r, 3)
+            if ln >= 1 << 16:
+                raise Unsupported("copy length >= 2^16")
+            if src >= 1 << 32:
+                raise Unsupported("copy source offset >= 2^32")
+            meter.charge(3 * ((ln + 31) // 32))
+            meter.charge_mem(dest, ln)
+            touch(r, dest, ln)
+            _fill_iszero(tr, r, ln)  # ln == 0 -> no copy rows
+            kwords = (ln + 31) // 32
+            tr[KWORDS, r] = kwords
+            kpad = 32 * kwords - ln
+            for b in range(5):
+                tr[KPD[b], r] = (kpad >> b) & 1
+            seg_src = SEG_CALLDATA if op == CALLDATACOPY else SEG_CODE
+            src_len = shape.calldata_len if op == CALLDATACOPY else len(code)
+            src_bytes = calldata if op == CALLDATACOPY else code
+            tr[R0, r], tr[R1, r], tr[R2, r] = src, dest, ln
+            tr[HS_SEG, r] = seg_src
+            r0, r1, r2 = src, dest, ln
+            while r2 > 0:
+                cs = min(32, r2)
+                fullc = 1 if r2 > 32 else 0
+                rck = (r2 - 33) if fullc else (32 - r2)
+                data = bytes(
+                    src_bytes[r0 + k] if r0 + k < src_len else 0
+                    for k in range(cs)
+                )
+                for row_kind in (S_CPR, S_CPW):
+                    r += 1
+                    if r >= budget_end:
+                        raise Unsupported("execution rows exhausted in copy")
+                    tr[row_kind, r] = 1
+                    tr[FULLC, r] = fullc
+                    tr[CSW, r] = cs
+                    if row_kind == S_CPR:
+                        tr[RB0, r], tr[RB1, r] = rck & 0xFF, rck >> 8
+                    tr[R0, r], tr[R1, r], tr[R2, r] = r0, r1, r2
+                    tr[HS_SEG, r] = seg_src
+                    tr[PC, r] = pc
+                    tr[SP, r] = sp
+                    tr[HP, r] = hp
+                    tr[LOGIDX, r] = len(logs)
+                    if row_kind == S_CPR:
+                        em.pack(r, 1, seg_src, r0, data)
+                    else:
+                        em.pack(r, 0, SEG_MAIN, r1, data)
+                        for k, byte in enumerate(data):
+                            evm_mem[r1 + k] = byte
+                r0, r1, r2 = r0 + cs, r1 + cs, r2 - cs
         elif op == MSIZE:
             msize = 32 * meter.mem_words
             tr[M8B0, r] = msize & 0xFF
@@ -1044,9 +1105,11 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 cs = min(cap, r2)
                 tr[S_KPACK, r] = 1
                 tr[KP[phase], r] = 1
-                tr[FULLC, r] = 1 if cs == cap else 0
+                # strict: FULLC <=> more remains after this chunk
+                fullc = 1 if r2 > cap else 0
+                tr[FULLC, r] = fullc
                 tr[CSW, r] = cs
-                rck = (r2 - cap) if cs == cap else (cap - 1 - r2)
+                rck = (r2 - cap - 1) if fullc else (cap - r2)
                 tr[RB0, r], tr[RB1, r] = rck & 0xFF, rck >> 8
                 tr[KBLK, r] = kblk
                 tr[KLEN, r] = ln
@@ -1347,7 +1410,8 @@ _SP_DELTA = {
     ADDMOD: -2, MULMOD: -2,
     EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
     SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
-    CALLDATALOAD: 0, CALLDATASIZE: 1, POP: -1, MLOAD: 0, MSTORE: -2,
+    CALLDATALOAD: 0, CALLDATASIZE: 1, CALLDATACOPY: -3, CODECOPY: -3,
+    RETURNDATASIZE: 1, POP: -1, MLOAD: 0, MSTORE: -2,
     MSTORE8: -2, MSIZE: 1,
     SLOAD: 0, SSTORE: -2, JUMP: -1, JUMPI: -2, PC_OP: 1, JUMPDEST: 0,
     RETURN: -2, REVERT: -2, ADDRESS: 1, ORIGIN: 1, GASPRICE: 1,
@@ -1359,6 +1423,8 @@ _PC_ADV[JUMP] = 0  # handled by the jump correction term
 _PC_ADV[KECCAK256] = 0  # the trailing KDIG row advances pc
 _PC_ADV[SLOAD] = 0  # the S_SLX continuation row advances pc
 _PC_ADV[SSTORE] = 0  # the S_SSX continuation row advances pc
+_PC_ADV[CALLDATACOPY] = 0  # the final S_CPW row advances pc (or the op
+_PC_ADV[CODECOPY] = 0  # row itself for a zero-length copy)
 
 # arithmetic-table ops in EVM operand order (ch1, ch2 as popped)
 _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
@@ -1621,6 +1687,7 @@ class EvmStark(Stark):
         nsel = [L(NSEL[n]) for n in range(33)]
         kpack, kdig = L(S_KPACK), L(S_KDIG)
         slx, ssx = L(S_SLX), L(S_SSX)
+        cpr, cpw = L(S_CPR), L(S_CPW)
         halted = L(HALTED)
         pc, sp = L(PC), L(SP)
         z, zinv, zs = L(Z), L(ZINV), L(ZS)
@@ -1632,8 +1699,8 @@ class EvmStark(Stark):
         # -- booleans
         bools = (
             [HALTED, Z, F_PUSH, F_DUP, F_SWAP, F_LOG, S_KPACK, S_KDIG,
-             S_LOGX, S_LOGD, S_SLX, S_SSX, SP_FIRST, SP_FINAL, IS_PACK,
-             PACK_WRITE,
+             S_LOGX, S_LOGD, S_SLX, S_SSX, S_CPR, S_CPW, SP_FIRST,
+             SP_FINAL, IS_PACK, PACK_WRITE,
              AR_PLAIN, AR_SWAP, LG_PLAIN, IS_JD,
              GROW, RQBIT, E_VC, E_CO, E_VO, EO0, EV0, FULLC]
             + list(PB) + list(KP) + list(KPD)
@@ -1665,7 +1732,7 @@ class EvmStark(Stark):
         logx, logd = L(S_LOGX), L(S_LOGD)
         all_sum = o.add(
             o.add(o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)),
-            o.add(o.add(slx, ssx), logd),
+            o.add(o.add(o.add(slx, ssx), logd), o.add(cpr, cpw)),
         )
         c.constraint(o.sub(all_sum, act))
         nsel_sum = None
@@ -1689,7 +1756,8 @@ class EvmStark(Stark):
         # -- fetch channel 0
         ch0u = L(CH_USED[0])
         non_fetch = o.add(
-            o.add(o.add(kpack, kdig), o.add(logx, logd)), o.add(slx, ssx)
+            o.add(o.add(o.add(kpack, kdig), o.add(logx, logd)), o.add(slx, ssx)),
+            o.add(cpr, cpw),
         )
         c.constraint(o.sub(ch0u, o.sub(act, non_fetch)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
@@ -1738,7 +1806,8 @@ class EvmStark(Stark):
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256,
                        CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
                        MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
-                       ADDMOD, MULMOD, RETURN, REVERT)
+                       ADDMOD, MULMOD, RETURN, REVERT,
+                       CALLDATACOPY, CODECOPY, RETURNDATASIZE)
         ] + [sel[op] for op in ENV_OPS]
         ch2_users = [
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
@@ -1747,12 +1816,14 @@ class EvmStark(Stark):
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
                        MLOAD, MSTORE, MSTORE8, SLOAD, SSTORE, JUMP, JUMPI,
-                       ADDMOD, MULMOD, RETURN, REVERT)
+                       ADDMOD, MULMOD, RETURN, REVERT,
+                       CALLDATACOPY, CODECOPY)
         ]
         ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
-                       AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD)
+                       AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD,
+                       CALLDATACOPY, CODECOPY)
         ]
         ch4_users = [
             fswap, F(self.F_SVINIT), ssx,
@@ -1910,34 +1981,40 @@ class EvmStark(Stark):
         carry_gate = o.add(o.add(N(S_KPACK), N(S_KDIG)), FN(self.F_CHG))
         c.constraint_transition(o.mul(carry_gate, o.sub(N(H_TS), L(H_TS))))
         c.constraint_transition(o.mul(carry_gate, o.sub(N(HS_SEG), L(HS_SEG))))
-        # chunk-size witness: CSW = min(cap, R2) on KPACK rows, 0 elsewhere
-        # (cap = 32 on phases 0-3, 8 on phase 4 of the sponge layout); the
-        # byte-checked RB witness proves the min
+        # chunk-size witness: CSW = min(cap, R2) on KPACK and copy-read
+        # rows, 0 elsewhere (cap = 32 on sponge phases 0-3 and on copy
+        # rows, 8 on sponge phase 4); the byte-checked RB witness proves
+        # the min with the STRICT full convention FULLC <=> R2 > cap
         kps = [L(KP[j]) for j in range(5)]
         kp_sum = None
         for j in range(5):
             kp_sum = kps[j] if kp_sum is None else o.add(kp_sum, kps[j])
         c.constraint(o.sub(kp_sum, kpack))  # one-hot exactly on kpack rows
         cap = o.add(
-            o.mul(const(32), o.sub(kp_sum, kps[4])), o.mul(const(8), kps[4])
+            o.add(
+                o.mul(const(32), o.sub(kp_sum, kps[4])),
+                o.mul(const(8), kps[4]),
+            ),
+            o.mul(const(32), cpr),
         )
+        chunk_gate = o.add(kpack, cpr)
         fullc, csw = L(FULLC), L(CSW)
-        c.constraint(o.mul(o.sub(one, kpack), csw))
+        c.constraint(o.mul(o.sub(one, o.add(chunk_gate, cpw)), csw))
         c.constraint(
             o.mul(
-                kpack,
+                chunk_gate,
                 o.sub(csw, o.add(o.mul(fullc, cap), o.mul(o.sub(one, fullc), L(R2)))),
             )
         )
         rck = o.add(L(RB0), o.mul(const(256), L(RB1)))
         c.constraint(
             o.mul(
-                kpack,
+                chunk_gate,
                 o.sub(
                     rck,
                     o.add(
-                        o.mul(fullc, o.sub(L(R2), cap)),
-                        o.mul(o.sub(one, fullc), o.sub(o.sub(cap, one), L(R2))),
+                        o.mul(fullc, o.sub(o.sub(L(R2), cap), one)),
+                        o.mul(o.sub(one, fullc), o.sub(cap, L(R2))),
                     ),
                 ),
             )
@@ -2180,6 +2257,88 @@ class EvmStark(Stark):
         c.constraint(o.mul(m8, o.sub(revb[0], L(M8B0))))
         for i in range(1, 32):
             c.constraint(o.mul(m8, revb[i]))
+        # RETURNDATASIZE: constant 0 (no inner calls in the envelope)
+        g = sel[RETURNDATASIZE]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        bind_byte(g, 1, zero)
+
+        # -- CALLDATACOPY / CODECOPY: pop (dest, src, len); the copy runs
+        # as CPR/CPW row pairs (pack-read into REVB, pack-write to MAIN)
+        scdc, sccc = sel[CALLDATACOPY], sel[CODECOPY]
+        copyop = o.add(scdc, sccc)
+        bind(copyop, 1, 1, const(SEG_STACK), spm(1))  # dest
+        bind(copyop, 2, 1, const(SEG_STACK), spm(2))  # src
+        bind(copyop, 3, 1, const(SEG_STACK), spm(3))  # len
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(copyop, L(CH_VAL[1][k])))
+            c.constraint(o.mul(copyop, L(CH_VAL[2][k])))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(copyop, L(CH_VAL[3][k])))
+        # Z decides len == 0 (no copy rows, no memory touch)
+        zsum_cl = None
+        for k in range(N_LIMBS):
+            t = L(CH_VAL[3][k])
+            zsum_cl = t if zsum_cl is None else o.add(zsum_cl, t)
+        c.constraint(o.mul(copyop, o.sub(zs, zsum_cl)))
+        src32 = o.add(L(CH_VAL[2][0]), o.mul(const(1 << 16), L(CH_VAL[2][1])))
+        c.constraint(o.mul(copyop, o.sub(L(R0), src32)))
+        c.constraint(o.mul(copyop, o.sub(L(R1), ofs32)))
+        c.constraint(o.mul(copyop, o.sub(L(R2), L(CH_VAL[3][0]))))
+        c.constraint(
+            o.sub(
+                o.mul(copyop, L(HS_SEG)),
+                o.add(
+                    o.mul(scdc, const(SEG_CALLDATA)),
+                    o.mul(sccc, const(SEG_CODE)),
+                ),
+            )
+        )
+        # gas word count (3/word, charged on the op row)
+        kpad_cl = None
+        for b in range(5):
+            t = o.mul(const(1 << b), L(KPD[b]))
+            kpad_cl = t if kpad_cl is None else o.add(kpad_cl, t)
+        c.constraint(
+            o.mul(
+                copyop,
+                o.sub(
+                    o.mul(const(32), L(KWORDS)),
+                    o.add(L(CH_VAL[3][0]), kpad_cl),
+                ),
+            )
+        )
+        # phase choreography: op(len>0) -> CPR; CPR -> CPW; CPW -> CPR
+        # while the chunk was full, else back to normal execution
+        c.constraint_transition(
+            o.sub(
+                N(S_CPR),
+                o.add(o.mul(copyop, o.sub(one, z)), o.mul(cpw, L(FULLC))),
+            )
+        )
+        c.constraint_transition(o.sub(N(S_CPW), cpr))
+        # CPR -> CPW: registers, chunk witness, and REVB carry verbatim
+        for col in (R0, R1, R2, CSW, FULLC, HS_SEG):
+            c.constraint_transition(o.mul(cpr, o.sub(N(col), L(col))))
+        for i in range(32):
+            c.constraint_transition(o.mul(cpr, o.sub(N(REVB[i]), revb[i])))
+        # CPW -> next CPR: pointers advance by the chunk size
+        adv_gate = o.mul(cpw, N(S_CPR))
+        c.constraint_transition(
+            o.mul(adv_gate, o.sub(N(R0), o.add(L(R0), L(CSW))))
+        )
+        c.constraint_transition(
+            o.mul(adv_gate, o.sub(N(R1), o.add(L(R1), L(CSW))))
+        )
+        c.constraint_transition(
+            o.mul(adv_gate, o.sub(o.add(N(R2), L(CSW)), L(R2)))
+        )
+        c.constraint_transition(
+            o.mul(adv_gate, o.sub(N(HS_SEG), L(HS_SEG)))
+        )
+        # op row -> first CPR: pointers and source segment carry in
+        enter_gate = o.mul(copyop, N(S_CPR))
+        for col in (R0, R1, R2, HS_SEG):
+            c.constraint_transition(o.mul(enter_gate, o.sub(N(col), L(col))))
 
         # -- CALLDATALOAD / MLOAD / MSTORE (bytepacking window ops)
         scdl, sml, sms = sel[CALLDATALOAD], sel[MLOAD], sel[MSTORE]
@@ -2200,11 +2359,13 @@ class EvmStark(Stark):
                 L(IS_PACK),
                 o.add(
                     o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
-                    o.add(o.add(log_data, logd), m8),
+                    o.add(o.add(o.add(log_data, logd), m8), o.add(cpr, cpw)),
                 ),
             )
         )
-        c.constraint(o.sub(L(PACK_WRITE), o.add(o.add(sms, m8), pre_packs)))
+        c.constraint(
+            o.sub(L(PACK_WRITE), o.add(o.add(o.add(sms, m8), cpw), pre_packs))
+        )
         seg_expr = o.add(
             o.add(
                 o.mul(push_packs, const(SEG_CODE)),
@@ -2218,12 +2379,14 @@ class EvmStark(Stark):
                 o.mul(
                     o.add(
                         o.add(o.add(sml, sms), o.add(kpack, m8)),
-                        o.add(log_data, logd),
+                        o.add(o.add(log_data, logd), cpw),
                     ),
                     const(SEG_MAIN),
                 ),
             ),
         )
+        # copy-read rows source from the carried segment register
+        seg_expr = o.add(seg_expr, o.mul(cpr, L(HS_SEG)))
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_SEG)), seg_expr))
         # LOGD rows pack data word NSEL at base offset R0 (carried from
         # the LOG row's popped offset)
@@ -2233,7 +2396,10 @@ class EvmStark(Stark):
                 o.mul(o.add(window_pop, m8), ofs32),
             ),
             o.add(
-                o.add(o.mul(kpack, L(R0)), o.mul(pre_packs, F(self.F_A1))),
+                o.add(
+                    o.mul(o.add(kpack, cpr), L(R0)),
+                    o.add(o.mul(cpw, L(R1)), o.mul(pre_packs, F(self.F_A1))),
+                ),
                 o.add(
                     o.mul(log_data, ofs32),
                     o.add(o.mul(logd, L(R0)), o.mul(const(32), o.mul(logd, nlin))),
@@ -2609,9 +2775,14 @@ class EvmStark(Stark):
         pc_adv = o.add(pc_adv, o.mul(fpush, o.add(one, nlin)))
         pc_adv = o.add(pc_adv, o.add(fdup, fswap))
         # a LOG sequence advances pc on its completion row (LOG, LOGX, or
-        # the final LOGD data word — same expression as LOGIDX)
+        # the final LOGD data word — same expression as LOGIDX); copies
+        # advance on the final CPW row (or the op row for len == 0)
         pc_adv = o.add(pc_adv, completion)
         pc_adv = o.add(pc_adv, o.add(kdig, o.add(slx, ssx)))
+        pc_adv = o.add(
+            pc_adv,
+            o.add(o.mul(copyop, z), o.mul(cpw, o.sub(one, L(FULLC)))),
+        )
         pc_adv = o.add(pc_adv, o.mul(sj, o.sub(L(CH_VAL[1][0]), pc)))
         pc_adv = o.add(
             pc_adv,
@@ -2653,7 +2824,7 @@ class EvmStark(Stark):
             [sml, sms, m8],
             o.add(
                 log_data,
-                o.mul(o.add(retrev, skec), o.sub(one, z)),
+                o.mul(o.add(o.add(retrev, skec), copyop), o.sub(one, z)),
             ),
         )
         c.constraint(o.sub(tch, tch_def))
@@ -2681,7 +2852,10 @@ class EvmStark(Stark):
         len_expr = o.add(
             o.add(
                 o.add(o.mul(acc([sml, sms]), const(32)), m8),
-                o.mul(skec, L(CH_VAL[2][0])),
+                o.add(
+                    o.mul(skec, L(CH_VAL[2][0])),
+                    o.mul(copyop, L(CH_VAL[3][0])),
+                ),
             ),
             o.add(
                 log_full if log_full is not None else zero,
@@ -2737,6 +2911,8 @@ class EvmStark(Stark):
         dadd(o.sub(o.mul(const(3), fpush), o.mul(fpush, nsel[0])))  # PUSH0=2
         # keccak: 30 + 6*ceil(len/32), all charged on the setup row
         dadd(o.mul(skec, o.add(const(30), o.mul(const(6), L(KWORDS)))))
+        # copies: 3/word on top of the static 3
+        dadd(o.mul(copyop, o.mul(const(3), L(KWORDS))))
         log_gas = None
         for i in range(len(s.log_shapes)):
             gl = 375 + 375 * nt_of[i] + 8 * dl_of[i]

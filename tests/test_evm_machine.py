@@ -531,3 +531,116 @@ class TestEnvOpcodes:
         _, res = run(code)
         # 2 pushes + mstore8 (3 + expansion to 2 words) + msize 2 + pop 2
         assert res.gas_used == 6 + 3 + memory_cost(2) + 2 + 2
+
+
+class TestCopyOps:
+    """CALLDATACOPY/CODECOPY: CPR/CPW row pairs move 32-byte windows
+    through REVB; RETURNDATASIZE is constant 0 (no inner calls)."""
+
+    def test_calldatacopy(self):
+        cd = bytes(range(1, 81))  # 80 bytes
+        code = E.asm(
+            ("push", 80), ("push", 0), ("push", 0), E.CALLDATACOPY,
+            ("push", 32), E.MLOAD,
+            ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res = run(code, calldata=cd)
+        assert res.return_data == cd[32:64]
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+
+    def test_calldatacopy_zero_pads_past_end(self):
+        cd = b"\xaa" * 8
+        code = E.asm(
+            ("push", 64), ("push", 0), ("push", 0), E.CALLDATACOPY,
+            ("push", 0), E.MLOAD,
+            ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res = run(code, calldata=cd)
+        assert res.return_data == cd + b"\0" * 24
+        stark = E.EvmStark(shape)
+        assert check_constraints(stark, res.trace, pi_limbs(res.pi_words)) == []
+
+    def test_codecopy_and_hash(self):
+        from ethproof_tpu.hash.keccak import keccak256
+
+        # copy the first 10 code bytes into memory and hash them
+        code = E.asm(
+            ("push", 10), ("push", 0), ("push", 0), E.CODECOPY,
+            ("push", 10), ("push", 0), E.KECCAK256,
+            ("push", 0), E.MSTORE, ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res = run(code)
+        assert res.return_data == keccak256(code[:10])
+        stark = E.EvmStark(shape)
+        assert check_constraints(stark, res.trace, pi_limbs(res.pi_words)) == []
+
+    def test_zero_length_copy(self):
+        code = E.asm(
+            ("push", 0), ("push", 5), ("push", 7), E.CALLDATACOPY,
+            E.RETURNDATASIZE, E.POP, E.STOP,
+        )
+        shape, res = run(code)
+        assert res.success == 1
+        stark = E.EvmStark(shape)
+        assert check_constraints(stark, res.trace, pi_limbs(res.pi_words)) == []
+
+    def test_copy_gas(self):
+        from ethproof_tpu.evm.gas import memory_cost
+
+        cd = bytes(64)
+        code = E.asm(
+            ("push", 33), ("push", 0), ("push", 0), E.CALLDATACOPY, E.STOP
+        )
+        _, res = run(code, calldata=cd)
+        # 3 pushes + copy 3 + 3*2 words + expansion to 2 words
+        assert res.gas_used == 9 + 3 + 6 + memory_cost(2)
+
+    def test_forged_copy_window_rejected(self):
+        cd = bytes(range(1, 41))
+        code = E.asm(
+            ("push", 40), ("push", 0), ("push", 0), E.CALLDATACOPY, E.STOP
+        )
+        shape, res = run(code, calldata=cd)
+        stark = E.EvmStark(shape)
+        tr = res.trace.copy()
+        rows = np.nonzero(tr[E.S_CPW])[0]
+        assert len(rows) == 2
+        tr[E.REVB[0], rows[0]] += 1  # corrupt the written window
+        assert check_constraints(stark, tr, pi_limbs(res.pi_words))
+
+    def test_ctl_multisets_copy(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_evm_e2e import ctl_multisets_ok, make_traces
+
+        from ethproof_tpu.tables import all as A
+
+        cd = bytes(range(1, 81))
+        code = E.asm(
+            ("push", 80), ("push", 0), ("push", 0), E.CALLDATACOPY,
+            ("push", 10), ("push", 0), ("push", 96), E.CODECOPY,
+            ("push", 7), ("push", 100), E.MSTORE8,
+            E.TIMESTAMP, E.POP, E.MSIZE, E.POP, E.STOP,
+        )
+        env = dict(timestamp=1700000000)
+        shape, _inputs, res = E.discover_and_execute(
+            code, cd, 0xC0FFEE, 0, {}, 9, env=env
+        )
+        counts = A.evm_table_counts(shape, res)
+        sizes = A.TableSizes(
+            cpu=shape.log_rows,
+            arithmetic=10,
+            logic=max((counts["logic"] - 1).bit_length(), 4),
+            bytepacking=max(9, (counts["bytepacking"] - 1).bit_length()),
+            memory=max(13, (counts["memory"] - 1).bit_length()),
+            keccak=max(7, (counts["keccak"] - 1).bit_length()),
+            keccak_sponge=max(8, (counts["keccak_sponge"] - 1).bit_length()),
+        )
+        machine = E.EvmStark(shape)
+        traces = make_traces(shape, res, sizes)
+        starks = A.all_starks(machine, with_keccak=True)
+        problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
+        assert problems == [], problems
