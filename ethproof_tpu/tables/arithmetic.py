@@ -66,12 +66,13 @@ from ..stark.stark import CtlSpec, LookupSpec, Stark
 from .common import Cols, LIMB_BASE, N_LIMBS, int_to_limbs, limbs_to_int
 
 OP_ADD, OP_SUB, OP_LT, OP_MUL = 1, 2, 3, 4
+OP_SLT = 5  # signed less-than (borrow chain with flipped sign bits)
 OP_DIV, OP_MOD, OP_SHR, OP_SHL = 13, 14, 15, 16
 OP_BYTE = 17
 OP_ADDMOD, OP_MULMOD = 21, 22  # ternary: (a, b, N) -> (a op b) mod N
 
 ALL_OPS = (OP_ADD, OP_SUB, OP_LT, OP_MUL, OP_DIV, OP_MOD, OP_SHR, OP_SHL,
-           OP_BYTE, OP_ADDMOD, OP_MULMOD)
+           OP_BYTE, OP_ADDMOD, OP_MULMOD, OP_SLT)
 
 _c = Cols()
 IS_ADD = _c.one()
@@ -85,6 +86,7 @@ IS_SHL = _c.one()
 IS_BYTE = _c.one()
 IS_ADDMOD = _c.one()
 IS_MULMOD = _c.one()
+IS_SLT = _c.one()
 OP_ID = _c.one()
 FILTER = _c.one()
 IN0 = _c.many(N_LIMBS)
@@ -128,6 +130,8 @@ QC2HI = _c.many(16)
 M_NZ = _c.one()  # modop: boolean "N != 0"
 MINV = _c.one()  # modop: inverse witness for sum(IN2 limbs)
 G_MOD = _c.one()  # modop: M_NZ * (is_addmod + is_mulmod)
+SGN0 = _c.one()  # slt: sign bit of in0 (top limb = low15 + 0x8000*sign;
+SGN1 = _c.one()  # the low-15 parts + their doublings reuse MCLO[0..3])
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
 
@@ -146,6 +150,7 @@ _SEL_OF_OP = {
     OP_ADD: IS_ADD, OP_SUB: IS_SUB, OP_LT: IS_LT, OP_MUL: IS_MUL,
     OP_DIV: IS_DIV, OP_MOD: IS_MOD, OP_SHR: IS_SHR, OP_SHL: IS_SHL,
     OP_BYTE: IS_BYTE, OP_ADDMOD: IS_ADDMOD, OP_MULMOD: IS_MULMOD,
+    OP_SLT: IS_SLT,
 }
 
 
@@ -193,7 +198,7 @@ class ArithmeticStark(Stark):
 
         base = o.constant(LIMB_BASE)
         (is_add, is_sub, is_lt, is_mul, is_div, is_mod, is_shr, is_shl,
-         is_byte, is_addmod, is_mulmod) = sels
+         is_byte, is_addmod, is_mulmod, is_slt) = sels
         carries = [ctx.local(i) for i in CARRY]
         for cy in carries:
             c.constraint(o.mul(cy, o.sub(cy, one)))
@@ -232,6 +237,43 @@ class ArithmeticStark(Stark):
         c.constraint(o.mul(is_lt, o.sub(out[0], carries[N_LIMBS - 1])))
         for i in range(1, N_LIMBS):
             c.constraint(o.mul(is_lt, out[i]))
+
+        # SLT: the LT borrow chain with both top-limb sign bits flipped
+        # (signed a < b  <=>  unsigned a^2^255 < b^2^255). Sign split:
+        # top limb = low15 + 0x8000*sign with low15 < 2^15 proven by the
+        # range check on its doubling. low15/doublings reuse MCLO[0..3].
+        sgn0, sgn1 = ctx.local(SGN0), ctx.local(SGN1)
+        for sg in (sgn0, sgn1):
+            c.constraint(o.mul(sg, o.sub(sg, one)))
+        l0, l1 = ctx.local(MCLO[0]), ctx.local(MCLO[1])
+        half = o.constant(1 << 15)
+        c.constraint(
+            o.mul(is_slt, o.sub(a[15], o.add(l0, o.mul(half, sgn0))))
+        )
+        c.constraint(
+            o.mul(is_slt, o.sub(b[15], o.add(l1, o.mul(half, sgn1))))
+        )
+        c.constraint(
+            o.mul(is_slt, o.sub(ctx.local(MCLO[2]), o.mul(o.constant(2), l0)))
+        )
+        c.constraint(
+            o.mul(is_slt, o.sub(ctx.local(MCLO[3]), o.mul(o.constant(2), l1)))
+        )
+        eff_a15 = o.add(l0, o.mul(half, o.sub(one, sgn0)))
+        eff_b15 = o.add(l1, o.mul(half, o.sub(one, sgn1)))
+        for i in range(N_LIMBS):
+            cin = carries[i - 1] if i > 0 else o.zero()
+            ea = a[i] if i < N_LIMBS - 1 else eff_a15
+            eb = b[i] if i < N_LIMBS - 1 else eff_b15
+            d = ctx.local(SCRATCH[i])
+            slt_expr = o.sub(
+                o.add(o.sub(o.sub(ea, eb), cin), o.mul(base, carries[i])),
+                d,
+            )
+            c.constraint(o.mul(is_slt, slt_expr))
+        c.constraint(o.mul(is_slt, o.sub(out[0], carries[N_LIMBS - 1])))
+        for i in range(1, N_LIMBS):
+            c.constraint(o.mul(is_slt, out[i]))
 
         # MUL: schoolbook low half with 32-bit carries
         prev_carry = o.zero()
@@ -677,6 +719,24 @@ def generate_trace(
             res = _fill_shift(tr, r, op, a, b, a_l, b_l)
         elif op == OP_BYTE:
             res = _fill_byte(tr, r, a, b, a_l, b_l)
+        elif op == OP_SLT:
+            sa, sb = a >> 255, b >> 255
+            tr[SGN0, r], tr[SGN1, r] = sa, sb
+            l0 = a_l[15] - 0x8000 * sa
+            l1 = b_l[15] - 0x8000 * sb
+            tr[MCLO[0], r], tr[MCLO[1], r] = l0, l1
+            tr[MCLO[2], r], tr[MCLO[3], r] = 2 * l0, 2 * l1
+            a2, b2 = a ^ (1 << 255), b ^ (1 << 255)
+            d_l = int_to_limbs((a2 - b2) % (1 << 256))
+            a2_l, b2_l = int_to_limbs(a2), int_to_limbs(b2)
+            borrow = 0
+            for i in range(N_LIMBS):
+                s_ = a2_l[i] - b2_l[i] - borrow
+                borrow = 1 if s_ < 0 else 0
+                tr[CARRY[i], r] = borrow
+                tr[SCRATCH[i], r] = d_l[i]
+            res = 1 if a2 < b2 else 0
+            tr[OUT[0], r] = res
         elif op in (OP_ADDMOD, OP_MULMOD):
             res = _fill_modop(tr, r, op, a, b, n2, a_l, b_l)
         else:

@@ -107,7 +107,7 @@ from .memory import MemoryOp
 STOP = 0x00
 ADD, MUL, SUB, DIV, MOD = 0x01, 0x02, 0x03, 0x04, 0x06
 ADDMOD, MULMOD = 0x08, 0x09
-LT, GT, EQ, ISZERO = 0x10, 0x11, 0x14, 0x15
+LT, GT, SLT, SGT, EQ, ISZERO = 0x10, 0x11, 0x12, 0x13, 0x14, 0x15
 AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
 SHL, SHR = 0x1B, 0x1C
 KECCAK256 = 0x20
@@ -133,7 +133,8 @@ RETURN, REVERT = 0xF3, 0xFD
 
 # opcode -> (pops, pushes) for the simple selectors
 _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
-             MOD: ar.OP_MOD, LT: ar.OP_LT, SHL: None, SHR: None, BYTE_: None}
+             MOD: ar.OP_MOD, LT: ar.OP_LT, SLT: ar.OP_SLT,
+             SHL: None, SHR: None, BYTE_: None}
 # EVM shift/byte operand order differs from the arithmetic table's:
 #   EVM SHL/SHR pop (shift, value); the table wants (value, shift).
 #   EVM BYTE pops (index, value); the table wants (value, index).
@@ -144,7 +145,8 @@ _LOGIC = {AND_: OP_AND, OR_: OP_OR, XOR_: OP_XOR}
 # parts: memory expansion, keccak words, logs, EIP-2929/2200 storage)
 STATIC_GAS = {
     STOP: 0, ADD: 3, MUL: 5, SUB: 3, DIV: 5, MOD: 5, ADDMOD: 8, MULMOD: 8,
-    LT: 3, GT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3, XOR_: 3, NOT_: 3,
+    LT: 3, GT: 3, SLT: 3, SGT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3,
+    XOR_: 3, NOT_: 3,
     BYTE_: 3, SHL: 3, SHR: 3, KECCAK256: 0,
     ADDRESS: 2, ORIGIN: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3,
     CALLDATASIZE: 2, CALLDATACOPY: 3, CODECOPY: 3, RETURNDATASIZE: 2,
@@ -406,7 +408,7 @@ REVB = _c.many(32)  # byte bank (value <-> byte-stream mediation)
 
 # opcode selectors: simple one-hots + family selectors with an N bank
 SIMPLE_OPS = (
-    STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, EQ, ISZERO,
+    STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, EQ, ISZERO,
     ADDMOD, MULMOD,
     AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
     ADDRESS, ORIGIN, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
@@ -800,6 +802,11 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             elif op == LT:
                 res = 1 if a < b else 0
                 em.arith.append((ar.OP_LT, a, b))
+            elif op == SLT:
+                sa = a - (1 << 256) if a >> 255 else a
+                sb = b - (1 << 256) if b >> 255 else b
+                res = 1 if sa < sb else 0
+                em.arith.append((ar.OP_SLT, a, b))
             elif op == SHL:  # EVM pops (shift, value)
                 res = (b << a) & WORD_MASK if a < 256 else 0
                 em.arith.append((ar.OP_SHL, b, a))
@@ -822,11 +829,17 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             )
             tr[AR_TERN, r] = 1
             spush(r, 4, res)
-        elif op == GT:  # a > b == b < a: swapped LT request
+        elif op in (GT, SGT):  # a > b == b < a: swapped compare
             a = spop(r, 1)
             b = spop(r, 2)
-            res = 1 if a > b else 0
-            em.arith.append((ar.OP_LT, b, a))
+            if op == GT:
+                res = 1 if a > b else 0
+                em.arith.append((ar.OP_LT, b, a))
+            else:
+                sa = a - (1 << 256) if a >> 255 else a
+                sb = b - (1 << 256) if b >> 255 else b
+                res = 1 if sa > sb else 0
+                em.arith.append((ar.OP_SLT, b, a))
             tr[AR_SWAP, r] = 1
             spush(r, 3, res)
         elif op == EQ:
@@ -1407,6 +1420,7 @@ def _fill_iszero3(tr, r, cols, v: int) -> None:
 # per-opcode SP delta and PC advance for the simple selectors
 _SP_DELTA = {
     STOP: 0, ADD: -1, MUL: -1, SUB: -1, DIV: -1, MOD: -1, LT: -1, GT: -1,
+    SLT: -1, SGT: -1,
     ADDMOD: -2, MULMOD: -2,
     EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
     SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
@@ -1428,9 +1442,11 @@ _PC_ADV[CODECOPY] = 0  # row itself for a zero-length copy)
 
 # arithmetic-table ops in EVM operand order (ch1, ch2 as popped)
 _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
-                DIV: ar.OP_DIV, MOD: ar.OP_MOD, LT: ar.OP_LT}
+                DIV: ar.OP_DIV, MOD: ar.OP_MOD, LT: ar.OP_LT,
+                SLT: ar.OP_SLT}
 # swapped: the table wants (value, count) / (value, index) / LT reversed
-_ARITH_SWAP = {GT: ar.OP_LT, SHL: ar.OP_SHL, SHR: ar.OP_SHR, BYTE_: ar.OP_BYTE}
+_ARITH_SWAP = {GT: ar.OP_LT, SGT: ar.OP_SLT, SHL: ar.OP_SHL,
+               SHR: ar.OP_SHR, BYTE_: ar.OP_BYTE}
 _ARITH_TERN = {ADDMOD: ar.OP_ADDMOD, MULMOD: ar.OP_MULMOD}
 
 
@@ -1802,7 +1818,8 @@ class EvmStark(Stark):
             slx, ssx,
         ] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+                       BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256,
                        CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
                        MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
@@ -1813,7 +1830,8 @@ class EvmStark(Stark):
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
         ] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+                       BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
                        MLOAD, MSTORE, MSTORE8, SLOAD, SSTORE, JUMP, JUMPI,
                        ADDMOD, MULMOD, RETURN, REVERT,
@@ -1821,7 +1839,8 @@ class EvmStark(Stark):
         ]
         ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL, SHR, BYTE_, EQ,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+                       BYTE_, EQ,
                        AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD,
                        CALLDATACOPY, CODECOPY)
         ]
@@ -2136,8 +2155,9 @@ class EvmStark(Stark):
         bind_word_v(kdig, 1)
 
         # -- binary arithmetic/logic ops (pop 2, push 1)
-        bin_sels = [sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SHL,
-                                       SHR, BYTE_, EQ, AND_, OR_, XOR_)]
+        bin_sels = [sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT,
+                                       SGT, SHL, SHR, BYTE_, EQ, AND_, OR_,
+                                       XOR_)]
         bin_gate = acc(bin_sels)
         bind(bin_gate, 1, 1, const(SEG_STACK), spm(1))
         bind(bin_gate, 2, 1, const(SEG_STACK), spm(2))
@@ -2146,11 +2166,14 @@ class EvmStark(Stark):
         c.constraint(
             o.sub(
                 L(AR_PLAIN),
-                acc([sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT)]),
+                acc([sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, SLT)]),
             )
         )
         c.constraint(
-            o.sub(L(AR_SWAP), acc([sel[op] for op in (GT, SHL, SHR, BYTE_)]))
+            o.sub(
+                L(AR_SWAP),
+                acc([sel[op] for op in (GT, SGT, SHL, SHR, BYTE_)]),
+            )
         )
         c.constraint(
             o.sub(L(LG_PLAIN), acc([sel[op] for op in (AND_, OR_, XOR_)]))

@@ -644,3 +644,44 @@ class TestCopyOps:
         starks = A.all_starks(machine, with_keccak=True)
         problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
         assert problems == [], problems
+
+
+class TestSignedCompare:
+    """SLT/SGT via the arithmetic table's OP_SLT (flipped-sign borrow
+    chain; SGT swaps operands like GT)."""
+
+    M = (1 << 256) - 1  # -1
+
+    def _res(self, op, a, b):
+        code = E.asm(("push", b), ("push", a), op,
+                     ("push", 0), E.MSTORE, ("push", 32), ("push", 0),
+                     E.RETURN)
+        shape, res = run(code)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return int.from_bytes(res.return_data, "big")
+
+    def test_slt(self):
+        assert self._res(E.SLT, self.M, 1) == 1  # -1 < 1
+        assert self._res(E.SLT, 1, self.M) == 0
+        assert self._res(E.SLT, self.M - 1, self.M) == 1  # -2 < -1
+        assert self._res(E.SLT, 3, 7) == 1
+        assert self._res(E.SLT, 7, 7) == 0
+
+    def test_sgt(self):
+        assert self._res(E.SGT, 1, self.M) == 1  # 1 > -1
+        assert self._res(E.SGT, self.M, 1) == 0
+        assert self._res(E.SGT, self.M, self.M - 1) == 1
+
+    def test_arith_table_slt_rows(self):
+        # the table-level witness for negative operands round-trips
+        from ethproof_tpu.tables import arithmetic as ar
+
+        reqs = [
+            (ar.OP_SLT, self.M, 1),
+            (ar.OP_SLT, 5, self.M - 10),
+            (ar.OP_SLT, self.M - 3, self.M - 2),
+        ]
+        tr, results = ar.generate_trace(reqs, 1 << 16)
+        assert results == [1, 0, 1]
