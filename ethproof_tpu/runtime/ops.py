@@ -152,9 +152,15 @@ def tx_proof(
 
                 tsz = sizes if isinstance(sizes, TableSizes) else None
                 if recursion is not None:
-                    # the evm root circuit fixes the table sizes
+                    # the evm root circuit fixes the table sizes; the
+                    # state-binding proof is not yet folded into the
+                    # succinct ladder (PARITY.md known gaps), so succinct
+                    # mode uses the host-checked binding tier
                     tsz = recursion.sizes
-                proof = prove_contract_call(gi, config, sizes=tsz)
+                cc_binding = None if recursion is not None else "auto"
+                proof = prove_contract_call(
+                    gi, config, sizes=tsz, binding=cc_binding
+                )
                 if recursion is not None:
                     with span("p_root", tx=label):
                         root = recursion.evm_root(proof.shape)

@@ -69,10 +69,12 @@ OP_ADD, OP_SUB, OP_LT, OP_MUL = 1, 2, 3, 4
 OP_SLT = 5  # signed less-than (borrow chain with flipped sign bits)
 OP_DIV, OP_MOD, OP_SHR, OP_SHL = 13, 14, 15, 16
 OP_BYTE = 17
+OP_SAR = 18  # arithmetic shift right (SHR + sign-extension mask)
+OP_SEXT = 19  # SIGNEXTEND (byte-boundary sign fill)
 OP_ADDMOD, OP_MULMOD = 21, 22  # ternary: (a, b, N) -> (a op b) mod N
 
 ALL_OPS = (OP_ADD, OP_SUB, OP_LT, OP_MUL, OP_DIV, OP_MOD, OP_SHR, OP_SHL,
-           OP_BYTE, OP_ADDMOD, OP_MULMOD, OP_SLT)
+           OP_BYTE, OP_ADDMOD, OP_MULMOD, OP_SLT, OP_SAR, OP_SEXT)
 
 _c = Cols()
 IS_ADD = _c.one()
@@ -87,6 +89,8 @@ IS_BYTE = _c.one()
 IS_ADDMOD = _c.one()
 IS_MULMOD = _c.one()
 IS_SLT = _c.one()
+IS_SAR = _c.one()
+IS_SEXT = _c.one()
 OP_ID = _c.one()
 FILTER = _c.one()
 IN0 = _c.many(N_LIMBS)
@@ -130,8 +134,11 @@ QC2HI = _c.many(16)
 M_NZ = _c.one()  # modop: boolean "N != 0"
 MINV = _c.one()  # modop: inverse witness for sum(IN2 limbs)
 G_MOD = _c.one()  # modop: M_NZ * (is_addmod + is_mulmod)
-SGN0 = _c.one()  # slt: sign bit of in0 (top limb = low15 + 0x8000*sign;
-SGN1 = _c.one()  # the low-15 parts + their doublings reuse MCLO[0..3])
+SGN0 = _c.one()  # slt/sar: sign bit of in0 (top limb = low15 + 0x8000*
+SGN1 = _c.one()  # sign; low-15 parts + doublings reuse MCLO[0..3])
+SX_S = _c.one()  # signextend: sign bit of the selected byte
+SX_LOW7 = _c.one()  # signextend: its low 7 bits (512x reuses MCLO[4])
+G_SAR = _c.one()  # sar: is_sar * sign (degree control for the mask)
 RC_MULT = _c.one()
 NUM_COLUMNS = _c.count
 
@@ -150,7 +157,7 @@ _SEL_OF_OP = {
     OP_ADD: IS_ADD, OP_SUB: IS_SUB, OP_LT: IS_LT, OP_MUL: IS_MUL,
     OP_DIV: IS_DIV, OP_MOD: IS_MOD, OP_SHR: IS_SHR, OP_SHL: IS_SHL,
     OP_BYTE: IS_BYTE, OP_ADDMOD: IS_ADDMOD, OP_MULMOD: IS_MULMOD,
-    OP_SLT: IS_SLT,
+    OP_SLT: IS_SLT, OP_SAR: IS_SAR, OP_SEXT: IS_SEXT,
 }
 
 
@@ -198,7 +205,7 @@ class ArithmeticStark(Stark):
 
         base = o.constant(LIMB_BASE)
         (is_add, is_sub, is_lt, is_mul, is_div, is_mod, is_shr, is_shl,
-         is_byte, is_addmod, is_mulmod, is_slt) = sels
+         is_byte, is_addmod, is_mulmod, is_slt, is_sar, is_sext) = sels
         carries = [ctx.local(i) for i in CARRY]
         for cy in carries:
             c.constraint(o.mul(cy, o.sub(cy, one)))
@@ -296,6 +303,7 @@ class ArithmeticStark(Stark):
         self._eval_divmod(ctx, sels, a, b, out, carries, base)
         self._eval_shifts(ctx, sels, a, b, out, base)
         self._eval_byte(ctx, sels, a, b, out)
+        self._eval_sext(ctx, sels, a, b, out)
         self._eval_modop(ctx, sels, a, b, out, carries, base)
         # binary-op rows carry IN2 = 0 (the CTL tuple includes it)
         is_modop = o.add(is_addmod, is_mulmod)
@@ -383,9 +391,10 @@ class ArithmeticStark(Stark):
         c, o = ctx.consumer, ctx.ops
         one = o.one()
         is_shr, is_shl, is_byte = sels[6], sels[7], sels[8]
-        is_shift = o.add(is_shr, is_shl)
-        # BYTE shares the validity/one-hot machinery (single-op rows)
-        uses_v = o.add(is_shift, is_byte)
+        is_sar, is_sext = sels[12], sels[13]
+        is_shift = o.add(o.add(is_shr, is_shl), is_sar)
+        # BYTE/SIGNEXTEND share the validity/one-hot machinery
+        uses_v = o.add(o.add(is_shift, is_byte), is_sext)
         ksel = [ctx.local(i) for i in KSEL]
         tsel = [ctx.local(i) for i in TSEL]
         v = ctx.local(B_VALID)
@@ -458,18 +467,20 @@ class ArithmeticStark(Stark):
                 acc = term if acc is None else o.add(acc, term)
             c.constraint(o.mul(is_shl, o.sub(out[j], acc)))
 
-        # SHR: a_i = 2^t hi + lo with lo < 2^t (scaled check), then
+        # SHR/SAR: a_i = 2^t hi + lo with lo < 2^t (scaled check), then
         # s_i = hi_i + scaled_{i+1}, out_j = sum_k ksel_k s_{j+k}
+        shr_like = o.add(is_shr, is_sar)
         for i in range(N_LIMBS):
             c.constraint(
                 o.mul(
-                    is_shr,
+                    shr_like,
                     o.sub(a[i], o.add(o.mul(pow2t, sh_hi[i]), sh_lo[i])),
                 )
             )
             c.constraint(
-                o.mul(is_shr, o.sub(scaled[i], o.mul(sh_lo[i], pow2r)))
+                o.mul(shr_like, o.sub(scaled[i], o.mul(sh_lo[i], pow2r)))
             )
+        shr_acc = []
         for j in range(N_LIMBS):
             acc = None
             for k in range(16):
@@ -480,7 +491,43 @@ class ArithmeticStark(Stark):
                     part = o.add(part, scaled[j + k + 1])
                 term = o.mul(ksel[k], part)
                 acc = term if acc is None else o.add(acc, term)
+            shr_acc.append(acc)
             c.constraint(o.mul(is_shr, o.sub(out[j], acc)))
+
+        # SAR: SHR plus the sign-extension mask. Sign split of in0's top
+        # limb reuses the SLT scheme (SGN0 + MCLO[0]/MCLO[2]); G_SAR =
+        # is_sar*sign keeps the mask terms at degree 3. Invalid counts
+        # (>= 256) zero the selectors, leaving out = sign * ~0.
+        sgn0_ = ctx.local(SGN0)
+        g_sar = ctx.local(G_SAR)
+        c.constraint(o.sub(g_sar, o.mul(is_sar, sgn0_)))
+        l0_ = ctx.local(MCLO[0])
+        c.constraint(
+            o.mul(
+                is_sar,
+                o.sub(a[15], o.add(l0_, o.mul(o.constant(1 << 15), sgn0_))),
+            )
+        )
+        c.constraint(
+            o.mul(
+                is_sar,
+                o.sub(ctx.local(MCLO[2]), o.mul(o.constant(2), l0_)),
+            )
+        )
+        inv_fill = o.mul(g_sar, o.mul(o.sub(one, v), o.constant(0xFFFF)))
+        for j in range(N_LIMBS):
+            himask = None
+            for k in range(16):
+                if k > 15 - j:
+                    t = o.mul(ksel[k], o.constant(0xFFFF))
+                elif k == 15 - j:
+                    t = o.mul(ksel[k], o.sub(o.constant(1 << 16), pow2r))
+                else:
+                    continue
+                himask = t if himask is None else o.add(himask, t)
+            expr = o.sub(o.mul(is_sar, o.sub(out[j], shr_acc[j])),
+                         o.mul(g_sar, himask) if himask is not None else o.zero())
+            c.constraint(o.sub(expr, inv_fill))
 
     # -- ADDMOD / MULMOD ---------------------------------------------------------
 
@@ -648,6 +695,87 @@ class ArithmeticStark(Stark):
         for i in range(1, N_LIMBS):
             c.constraint(o.mul(is_byte, out[i]))
 
+    # -- SIGNEXTEND --------------------------------------------------------------
+
+    def _eval_sext(self, ctx, sels, a, b, out):
+        """SIGNEXTEND(b=index, x=in0): bytes above LE byte `index` fill
+        with the sign bit of byte `index`. Reuses the 32-slot one-hot as
+        a DIRECT byte-position selector (no 31-j flip) and the BYTE limb
+        split; the selected byte's sign splits as 0x80*SX_S + SX_LOW7
+        with 512*SX_LOW7 range-checked (reusing MCLO[4]). Index >= 32
+        (v = 0) leaves the value unchanged — consensus semantics (index
+        31 is an ordinary slot whose fill region is empty)."""
+        c, o = ctx.consumer, ctx.ops
+        one = o.one()
+        is_sext = sels[13]
+        sel = [ctx.local(i) for i in KSEL] + [ctx.local(i) for i in TSEL]
+        v = ctx.local(B_VALID)
+        b0_hi = ctx.local(B0_HI)
+        idx5 = ctx.local(IDX5)
+        blo = ctx.local(BYTE_LO)
+        bhi = ctx.local(BYTE_HI)
+        blo_sc = ctx.local(BYTE_LO_SC)
+        sx_s, sx_l7 = ctx.local(SX_S), ctx.local(SX_LOW7)
+        c.constraint(o.mul(sx_s, o.sub(sx_s, one)))
+        # index decomposition + DIRECT slot binding (slot j == index)
+        c.constraint(
+            o.mul(
+                is_sext,
+                o.sub(b[0], o.add(o.mul(o.constant(32), b0_hi), idx5)),
+            )
+        )
+        s_all = sel[0]
+        j_lin = o.mul(o.constant(0), sel[0])
+        for j in range(1, 32):
+            s_all = o.add(s_all, sel[j])
+            j_lin = o.add(j_lin, o.mul(o.constant(j), sel[j]))
+        c.constraint(o.mul(is_sext, o.sub(s_all, v)))
+        c.constraint(o.mul(is_sext, o.sub(j_lin, o.mul(v, idx5))))
+        # selected limb split (the BYTE columns, is_sext-gated)
+        limb_sel = None
+        half_sel = None
+        for j in range(32):
+            t1 = o.mul(sel[j], a[j >> 1])
+            limb_sel = t1 if limb_sel is None else o.add(limb_sel, t1)
+            t2 = o.mul(sel[j], bhi if (j & 1) else blo)
+            half_sel = t2 if half_sel is None else o.add(half_sel, t2)
+        c.constraint(
+            o.mul(
+                is_sext,
+                o.sub(limb_sel, o.add(o.mul(o.constant(256), bhi), blo)),
+            )
+        )
+        c.constraint(o.mul(is_sext, o.sub(blo_sc, o.mul(o.constant(256), blo))))
+        # sign of the selected byte
+        c.constraint(
+            o.mul(
+                is_sext,
+                o.sub(half_sel, o.add(o.mul(o.constant(0x80), sx_s), sx_l7)),
+            )
+        )
+        c.constraint(
+            o.mul(
+                is_sext,
+                o.sub(ctx.local(MCLO[4]), o.mul(o.constant(512), sx_l7)),
+            )
+        )
+        # outputs: keep limbs at or below the boundary, fill above; on an
+        # even boundary the limb's high byte takes the fill
+        for i in range(N_LIMBS):
+            acc = o.mul(o.sub(one, v), a[i])  # index >= 32: unchanged
+            for j in range(32):
+                if j >= 2 * i + 1:
+                    t = o.mul(sel[j], a[i])
+                elif j == 2 * i:
+                    t = o.mul(
+                        sel[j],
+                        o.add(blo, o.mul(o.constant(0xFF00), sx_s)),
+                    )
+                else:
+                    t = o.mul(sel[j], o.mul(o.constant(0xFFFF), sx_s))
+                acc = o.add(acc, t)
+            c.constraint(o.mul(is_sext, o.sub(out[i], acc)))
+
 
 def generate_trace(
     requests: List[Tuple], n_rows: int
@@ -717,6 +845,10 @@ def generate_trace(
             res = _fill_divmod(tr, r, op, a, b, a_l, b_l)
         elif op in (OP_SHR, OP_SHL):
             res = _fill_shift(tr, r, op, a, b, a_l, b_l)
+        elif op == OP_SAR:
+            res = _fill_sar(tr, r, a, b, a_l, b_l)
+        elif op == OP_SEXT:
+            res = _fill_sext(tr, r, a, b, a_l, b_l)
         elif op == OP_BYTE:
             res = _fill_byte(tr, r, a, b, a_l, b_l)
         elif op == OP_SLT:
@@ -839,6 +971,78 @@ def _fill_shift(tr, r, op, a, b, a_l, b_l) -> int:
             # pow2t = 0: a_i = 0*hi + lo forces lo = a_i; scaled = lo*0 = 0
             for i in range(N_LIMBS):
                 tr[SH_LO[i], r] = a_l[i]
+    return res
+
+
+def _fill_sar(tr, r, a, b, a_l, b_l) -> int:
+    sign = a >> 255
+    tr[SGN0, r] = sign
+    l0 = a_l[15] - 0x8000 * sign
+    tr[MCLO[0], r] = l0
+    tr[MCLO[2], r] = 2 * l0
+    tr[G_SAR, r] = sign
+    valid = b < 256
+    if valid:
+        shr = a >> b
+        mask = ((1 << 256) - (1 << (256 - b))) if b else 0
+        res = shr | mask if sign else shr
+        k, t = b >> 4, b & 15
+        tr[B_VALID, r] = 1
+        tr[KSEL[k], r] = 1
+        tr[TSEL[t], r] = 1
+        for i in range(N_LIMBS):
+            tr[SH_HI[i], r] = a_l[i] >> t
+            lo = a_l[i] & ((1 << t) - 1)
+            tr[SH_LO[i], r] = lo
+            tr[SHR_SCALED[i], r] = lo << (16 - t)
+    else:
+        res = (1 << 256) - 1 if sign else 0
+        tr[G_SHIFT, r] = 1
+        b0_hi = b_l[0] >> 8
+        tr[B0_HI, r] = b0_hi
+        bigsum = (b0_hi + sum(b_l[1:])) % fh.P
+        tr[BIGINV, r] = fh.inv(bigsum)
+        for i in range(N_LIMBS):
+            tr[SH_LO[i], r] = a_l[i]
+    out_l = int_to_limbs(res)
+    for i in range(N_LIMBS):
+        tr[OUT[i], r] = out_l[i]
+    return res
+
+
+def _fill_sext(tr, r, a, b, a_l, b_l) -> int:
+    valid = b < 32
+    if valid:
+        j = b
+        sel = KSEL[j] if j < 16 else TSEL[j - 16]
+        tr[sel, r] = 1
+        tr[B_VALID, r] = 1
+        tr[IDX5, r] = j
+        limb = a_l[j >> 1]
+        blo, bhi = limb & 0xFF, limb >> 8
+        tr[BYTE_LO, r], tr[BYTE_HI, r] = blo, bhi
+        tr[BYTE_LO_SC, r] = blo << 8
+        sbyte = bhi if (j & 1) else blo
+        sign = sbyte >> 7
+        tr[SX_S, r] = sign
+        low7 = sbyte & 0x7F
+        tr[SX_LOW7, r] = low7
+        tr[MCLO[4], r] = 512 * low7
+        bits = 8 * (j + 1)
+        low = a & ((1 << bits) - 1)
+        res = low | ((1 << 256) - (1 << bits)) if sign else low
+    else:
+        res = a
+        # BYTE-style invalidity: b0 = 32*b0_hi + idx5 with bigsum nonzero
+        b0_hi, idx5 = b_l[0] >> 5, b_l[0] & 31
+        tr[B0_HI, r] = b0_hi
+        tr[IDX5, r] = idx5
+        tr[G_SHIFT, r] = 1  # g_sh = uses_v * (1 - v)
+        bigsum = (b0_hi + sum(b_l[1:])) % fh.P
+        tr[BIGINV, r] = fh.inv(bigsum)
+    out_l = int_to_limbs(res)
+    for i in range(N_LIMBS):
+        tr[OUT[i], r] = out_l[i]
     return res
 
 

@@ -107,9 +107,10 @@ from .memory import MemoryOp
 STOP = 0x00
 ADD, MUL, SUB, DIV, MOD = 0x01, 0x02, 0x03, 0x04, 0x06
 ADDMOD, MULMOD = 0x08, 0x09
+SIGNEXTEND = 0x0B
 LT, GT, SLT, SGT, EQ, ISZERO = 0x10, 0x11, 0x12, 0x13, 0x14, 0x15
 AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
-SHL, SHR = 0x1B, 0x1C
+SHL, SHR, SAR = 0x1B, 0x1C, 0x1D
 KECCAK256 = 0x20
 ADDRESS, ORIGIN, CALLER, CALLVALUE = 0x30, 0x32, 0x33, 0x34
 CALLDATALOAD, CALLDATASIZE, CALLDATACOPY = 0x35, 0x36, 0x37
@@ -134,7 +135,8 @@ RETURN, REVERT = 0xF3, 0xFD
 # opcode -> (pops, pushes) for the simple selectors
 _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
              MOD: ar.OP_MOD, LT: ar.OP_LT, SLT: ar.OP_SLT,
-             SHL: None, SHR: None, BYTE_: None}
+             SHL: None, SHR: None, SAR: None, BYTE_: None,
+             SIGNEXTEND: None}
 # EVM shift/byte operand order differs from the arithmetic table's:
 #   EVM SHL/SHR pop (shift, value); the table wants (value, shift).
 #   EVM BYTE pops (index, value); the table wants (value, index).
@@ -146,8 +148,8 @@ _LOGIC = {AND_: OP_AND, OR_: OP_OR, XOR_: OP_XOR}
 STATIC_GAS = {
     STOP: 0, ADD: 3, MUL: 5, SUB: 3, DIV: 5, MOD: 5, ADDMOD: 8, MULMOD: 8,
     LT: 3, GT: 3, SLT: 3, SGT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3,
-    XOR_: 3, NOT_: 3,
-    BYTE_: 3, SHL: 3, SHR: 3, KECCAK256: 0,
+    XOR_: 3, NOT_: 3, SIGNEXTEND: 5,
+    BYTE_: 3, SHL: 3, SHR: 3, SAR: 3, KECCAK256: 0,
     ADDRESS: 2, ORIGIN: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3,
     CALLDATASIZE: 2, CALLDATACOPY: 3, CODECOPY: 3, RETURNDATASIZE: 2,
     GASPRICE: 2, COINBASE: 2, TIMESTAMP: 2, NUMBER: 2,
@@ -410,7 +412,7 @@ REVB = _c.many(32)  # byte bank (value <-> byte-stream mediation)
 SIMPLE_OPS = (
     STOP, ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, EQ, ISZERO,
     ADDMOD, MULMOD,
-    AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, KECCAK256,
+    AND_, OR_, XOR_, NOT_, BYTE_, SHL, SHR, SAR, SIGNEXTEND, KECCAK256,
     ADDRESS, ORIGIN, CALLER, CALLVALUE, CALLDATALOAD, CALLDATASIZE,
     CALLDATACOPY, CODECOPY, RETURNDATASIZE,
     GASPRICE, COINBASE, TIMESTAMP, NUMBER, GASLIMIT, CHAINID, BASEFEE,
@@ -813,10 +815,32 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             elif op == SHR:
                 res = (b >> a) if a < 256 else 0
                 em.arith.append((ar.OP_SHR, b, a))
+            elif op == SAR:
+                sign = b >> 255
+                if a < 256:
+                    shr = b >> a
+                    mask = ((1 << 256) - (1 << (256 - a))) if a else 0
+                    res = (shr | mask) if sign else shr
+                else:
+                    res = (1 << 256) - 1 if sign else 0
+                em.arith.append((ar.OP_SAR, b, a))
+            elif op == SIGNEXTEND:
+                if a < 32:
+                    bits = 8 * (a + 1)
+                    low = b & ((1 << bits) - 1)
+                    sign = (b >> (bits - 1)) & 1
+                    res = low | ((1 << 256) - (1 << bits)) if sign else low
+                else:
+                    res = b
+                em.arith.append((ar.OP_SEXT, b, a))
             elif op == BYTE_:  # EVM pops (index, value)
                 res = (b >> (8 * (31 - a))) & 0xFF if a < 32 else 0
                 em.arith.append((ar.OP_BYTE, b, a))
-            tr[AR_SWAP if op in (SHL, SHR, BYTE_) else AR_PLAIN, r] = 1
+            tr[
+                AR_SWAP if op in (SHL, SHR, SAR, BYTE_, SIGNEXTEND)
+                else AR_PLAIN,
+                r,
+            ] = 1
             spush(r, 3, res)
         elif op in (ADDMOD, MULMOD):
             x = spop(r, 1)
@@ -1420,7 +1444,7 @@ def _fill_iszero3(tr, r, cols, v: int) -> None:
 # per-opcode SP delta and PC advance for the simple selectors
 _SP_DELTA = {
     STOP: 0, ADD: -1, MUL: -1, SUB: -1, DIV: -1, MOD: -1, LT: -1, GT: -1,
-    SLT: -1, SGT: -1,
+    SLT: -1, SGT: -1, SAR: -1, SIGNEXTEND: -1,
     ADDMOD: -2, MULMOD: -2,
     EQ: -1, ISZERO: 0, AND_: -1, OR_: -1, XOR_: -1, NOT_: 0, BYTE_: -1,
     SHL: -1, SHR: -1, KECCAK256: -2, CALLER: 1, CALLVALUE: 1,
@@ -1446,7 +1470,8 @@ _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
                 SLT: ar.OP_SLT}
 # swapped: the table wants (value, count) / (value, index) / LT reversed
 _ARITH_SWAP = {GT: ar.OP_LT, SGT: ar.OP_SLT, SHL: ar.OP_SHL,
-               SHR: ar.OP_SHR, BYTE_: ar.OP_BYTE}
+               SHR: ar.OP_SHR, SAR: ar.OP_SAR, BYTE_: ar.OP_BYTE,
+               SIGNEXTEND: ar.OP_SEXT}
 _ARITH_TERN = {ADDMOD: ar.OP_ADDMOD, MULMOD: ar.OP_MULMOD}
 
 
@@ -1818,7 +1843,7 @@ class EvmStark(Stark):
             slx, ssx,
         ] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR, SAR, SIGNEXTEND,
                        BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256,
                        CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
@@ -1830,7 +1855,7 @@ class EvmStark(Stark):
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
         ] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR, SAR, SIGNEXTEND,
                        BYTE_, EQ,
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
                        MLOAD, MSTORE, MSTORE8, SLOAD, SSTORE, JUMP, JUMPI,
@@ -1839,7 +1864,7 @@ class EvmStark(Stark):
         ]
         ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
-            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR,
+            for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR, SAR, SIGNEXTEND,
                        BYTE_, EQ,
                        AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD,
                        CALLDATACOPY, CODECOPY)
@@ -2156,8 +2181,8 @@ class EvmStark(Stark):
 
         # -- binary arithmetic/logic ops (pop 2, push 1)
         bin_sels = [sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT,
-                                       SGT, SHL, SHR, BYTE_, EQ, AND_, OR_,
-                                       XOR_)]
+                                       SGT, SHL, SHR, SAR, SIGNEXTEND,
+                                       BYTE_, EQ, AND_, OR_, XOR_)]
         bin_gate = acc(bin_sels)
         bind(bin_gate, 1, 1, const(SEG_STACK), spm(1))
         bind(bin_gate, 2, 1, const(SEG_STACK), spm(2))
@@ -2172,7 +2197,8 @@ class EvmStark(Stark):
         c.constraint(
             o.sub(
                 L(AR_SWAP),
-                acc([sel[op] for op in (GT, SGT, SHL, SHR, BYTE_)]),
+                acc([sel[op] for op in (GT, SGT, SHL, SHR, SAR, BYTE_,
+                                        SIGNEXTEND)]),
             )
         )
         c.constraint(

@@ -685,3 +685,60 @@ class TestSignedCompare:
         ]
         tr, results = ar.generate_trace(reqs, 1 << 16)
         assert results == [1, 0, 1]
+
+
+class TestSarSignextend:
+    M = (1 << 256) - 1
+
+    def _res(self, op, top, second):
+        # pushes `second` then `top`; op pops (top, second)
+        code = E.asm(("push", second), ("push", top), op,
+                     ("push", 0), E.MSTORE, ("push", 32), ("push", 0),
+                     E.RETURN)
+        shape, res = run(code)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return int.from_bytes(res.return_data, "big")
+
+    def test_sar(self):
+        # SAR pops (shift, value)
+        assert self._res(E.SAR, 4, 0x100) == 0x10
+        neg16 = self.M - 15  # -16
+        assert self._res(E.SAR, 2, neg16) == self.M - 3  # -4
+        assert self._res(E.SAR, 300, neg16) == self.M  # count >= 256, neg
+        assert self._res(E.SAR, 300, 7) == 0
+        assert self._res(E.SAR, 0, neg16) == neg16
+        assert self._res(E.SAR, 255, 1 << 255) == self.M
+
+    def test_signextend(self):
+        # SIGNEXTEND pops (byte_index, value)
+        assert self._res(E.SIGNEXTEND, 0, 0xFF) == self.M  # int8 -1
+        assert self._res(E.SIGNEXTEND, 0, 0x7F) == 0x7F
+        assert self._res(E.SIGNEXTEND, 1, 0x8000) == self.M - 0x7FFF
+        assert self._res(E.SIGNEXTEND, 1, 0x1234) == 0x1234
+        assert self._res(E.SIGNEXTEND, 31, 0xAB) == 0xAB  # full width
+        assert self._res(E.SIGNEXTEND, 50, 0xDEAD) == 0xDEAD  # index >= 32
+        # boundary byte itself is preserved, upper bytes filled
+        assert self._res(E.SIGNEXTEND, 2, 0x80FFFF) == (
+            ((self.M >> 24) << 24) | 0x80FFFF
+        )
+
+    def test_arith_table_rows(self):
+        from ethproof_tpu.tables import arithmetic as ar
+
+        neg = (1 << 256) - 100
+        reqs = [
+            (ar.OP_SAR, neg, 3),
+            (ar.OP_SAR, 1 << 200, 100),
+            (ar.OP_SAR, neg, 999),
+            (ar.OP_SEXT, 0x80, 0),
+            (ar.OP_SEXT, 0x1234, 55),
+        ]
+        tr, results = ar.generate_trace(reqs, 1 << 16)
+        sneg = neg - (1 << 256)
+        assert results[0] == (sneg >> 3) % (1 << 256)
+        assert results[1] == (1 << 100)
+        assert results[2] == (1 << 256) - 1
+        assert results[3] == (1 << 256) - 0x80
+        assert results[4] == 0x1234
