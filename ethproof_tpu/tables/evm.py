@@ -70,9 +70,20 @@ equality-predicate witnesses against SEG_SORIG). GAS and REFUND bind to
 public inputs on the last row; evm/contract.py adds the intrinsic cost
 and the refund cap and checks the witness's gas delta (evm/gas.py).
 
+Supported opcode families: STOP, ADD/MUL/SUB/DIV/MOD/ADDMOD/MULMOD,
+LT/GT/SLT/SGT/EQ/ISZERO, AND/OR/XOR/NOT/BYTE/SHL/SHR/SAR/SIGNEXTEND,
+KECCAK256 (any length, multi-block), ADDRESS/ORIGIN/CALLER/CALLVALUE/
+CALLDATALOAD/CALLDATASIZE/CALLDATACOPY/CODECOPY/RETURNDATASIZE/
+GASPRICE/COINBASE/TIMESTAMP/NUMBER/GASLIMIT/CHAINID/BASEFEE,
+POP/MLOAD/MSTORE/MSTORE8/MSIZE, SLOAD/SSTORE, JUMP/JUMPI/PC/JUMPDEST,
+PUSH0-32/DUP1-16/SWAP1-16, LOG0-4 (8 events, 256-byte payloads),
+RETURN/REVERT.
+
 Documented envelope (host generator raises Unsupported outside it; each
 item is a completeness gap, never a soundness gap):
-  - single call context (the proved frame is the tx's direct call);
+  - single call context (the proved frame is the tx's direct call): no
+    CALL/DELEGATECALL/STATICCALL/CREATE*, no EXTCODE*/BALANCE/
+    SELFBALANCE/BLOCKHASH/EXP/GAS/CODESIZE/EXTCODEHASH;
   - REVERT halts with success=0 but state rollback is not replayed
     (the outer kernel must not use the journal of a reverted frame);
   - LOG* pops its operands; topics + data bind to per-log public
@@ -84,7 +95,8 @@ item is a completeness gap, never a soundness gap):
     is the completeness gate);
   - memory high-water mark < 2^16 words (2 MB; ~8.5M expansion gas, so
     consensus-reachable traces fit) — larger offsets are Unsupported
-    rather than EVM's read-zeros semantics; KECCAK256 length < 2^16;
+    rather than EVM's read-zeros semantics; KECCAK256 and copy lengths
+    < 2^16;
   - running out of gas mid-frame is not modelled (an OOG tx is outside
     the envelope; the witness gas limit is assumed sufficient).
 """
