@@ -345,3 +345,60 @@ class TestTwoTxWitness:
         assert (
             ir[1].trie_roots_after.transactions_root == self.chain.txns_trie.hash()
         )
+
+
+class FakeRpcTyped(FakeRpc):
+    """Same chain, but the tx is a signed EIP-1559 (type-2) envelope —
+    the receipts trie must carry the EIP-2718 type prefix and the raw
+    bytes must decode through evm/tx.decode_tx."""
+
+    def __init__(self):
+        super().__init__()
+        from ethproof_tpu.evm.tx import sign_eip1559_tx
+
+        self.raw_tx = sign_eip1559_tx(
+            1, 4, 1, 2, 21000, bytes.fromhex(B[2:]), self.value, b"",
+            0xA11CE, access_list=(),
+        )
+        self.tx_hash = "0x" + keccak256(self.raw_tx).hex()
+        self.txns_trie = PartialTrie()
+        self.txns_trie.insert(
+            Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(0))), self.raw_tx
+        )
+        receipt_payload = b"\x02" + rlp.encode(
+            [rlp.int_to_bytes(1), rlp.int_to_bytes(21000), b"\x00" * 256, []]
+        )
+        self.receipts_trie = PartialTrie()
+        self.receipts_trie.insert(
+            Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(0))), receipt_payload
+        )
+
+    def _eth_getTransactionReceipt(self, h):
+        d = super()._eth_getTransactionReceipt(h)
+        d["type"] = "0x2"
+        return d
+
+    def _eth_getRawTransactionByHash(self, h):
+        return "0x" + self.raw_tx.hex()
+
+
+class TestTypedTxWitness:
+    def setup_method(self):
+        self.chain = FakeRpcTyped()
+        client = RpcClient("fake://", transport=self.chain.transport)
+        self.gis = gather_witness(self.chain.tx_hash, client)
+
+    def test_signed_txn_decodes_as_type2(self):
+        from ethproof_tpu.evm.tx import Eip1559Tx, decode_tx
+
+        (gi,) = [g for g in self.gis if g.signed_txn is not None]
+        tx = decode_tx(gi.signed_txn)
+        assert isinstance(tx, Eip1559Tx)
+        assert tx.to == bytes.fromhex(B[2:])
+        assert tx.value == self.chain.value
+
+    def test_receipt_carries_type_prefix(self):
+        (gi,) = [g for g in self.gis if g.signed_txn is not None]
+        key = Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(0)))
+        raw = self.chain.receipts_trie.get(key)
+        assert raw is not None and raw[0] == 0x02
