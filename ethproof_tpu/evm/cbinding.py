@@ -33,7 +33,7 @@ KernelShape.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from ..hash.keccak import keccak256
 from ..trie.nibbles import Nibbles

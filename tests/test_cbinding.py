@@ -126,3 +126,25 @@ class TestWitnessAndKernel:
             CB.build_contract_binding_witness(
                 gi, res.pi_words, shape, sender, TOKEN, MINER, pi, tight
             )
+
+
+class TestProveFallback:
+    def test_overlap_witness_falls_back_to_host_tier(self):
+        # miner == sender is outside the in-circuit envelope: "auto" mode
+        # must return the host tier (no binding proof), "require" raises
+        from ethproof_tpu.evm.contract import _prove_binding
+        from test_transfer_e2e import CFG
+
+        gi = make_erc20_witness()
+        shape, _inputs, res = C.machine_inputs_for_tx(gi)
+        sender = private_key_to_address(PK)
+        multi, pi, n, ks = _prove_binding(
+            gi, res.pi_words, shape, sender, TOKEN, sender,  # miner==sender
+            gi.gas_used_after, CFG, "auto", None,
+        )
+        assert multi is None and pi is None and n == 0 and ks is None
+        with pytest.raises(Unsupported):
+            _prove_binding(
+                gi, res.pi_words, shape, sender, TOKEN, sender,
+                gi.gas_used_after, CFG, "require", None,
+            )
