@@ -24,6 +24,7 @@ Matches ntt.ntt / ntt.intt bit-for-bit (natural order in and out).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -205,18 +206,109 @@ def mxu_coset_lde(coeffs: GF, rate_bits: int, shift: int) -> GF:
     scaled = gfp.mul(coeffs, sp)
     pad = [(0, 0)] * len(batch) + [(0, big_n - n)]
     padded = GF(jnp.pad(scaled.lo, pad), jnp.pad(scaled.hi, pad))
-    return _mxu_ntt_impl(padded, inverse=False)
+    return _ntt_auto_impl(padded, inverse=False)
 
 
 # -- size-dispatched transforms (prover-facing) ------------------------------
 
 _MXU_MIN = 1 << 9  # below this the radix-2 VPU path wins / ties
 
+# HBM budget for the four-step kernel, in FIELD ELEMENTS in flight per
+# sub-call. The exact-f32 matmul's peak temporaries run ~300-350 bytes
+# per input element (the 8-bit chunk stacks, the (n, 8, batch) matmul
+# outputs and the 15 int32 weight buckets), so 2^24 elements tops out
+# around 5-6 GB of HLO temps — comfortable on a 16 GB chip with room
+# for the resident trace. Measured: 256 cols x 2^20 unblocked asks for
+# 86 GB on a v5e (OOM); blocked at 2^24 it fits. Tunable for bigger
+# chips via ETHPROOF_MXU_BLOCK_ELEMS.
+_BLOCK_ELEMS = int(os.environ.get("ETHPROOF_MXU_BLOCK_ELEMS", str(1 << 24)))
+
+
+def set_block_elems(n: int) -> None:
+    """Test/tuning hook: cap on field elements per four-step sub-call."""
+    global _BLOCK_ELEMS
+    _BLOCK_ELEMS = n
+
+
+def _map_rows(fn, a: GF, block: int) -> GF:
+    """Apply `fn` (GF (n,) -> GF (m,), vmapped by lax.map) in row blocks
+    of `block`, bounding peak HBM to one block's temporaries. `a` may
+    carry arbitrary leading batch dims (flattened into rows)."""
+    n = a.lo.shape[-1]
+    batch = a.lo.shape[:-1]
+    lo2 = a.lo.reshape(-1, n)
+    hi2 = a.hi.reshape(-1, n)
+
+    def f(xs):
+        out = fn(GF(xs[0], xs[1]))
+        return out.lo, out.hi
+
+    out_lo, out_hi = jax.lax.map(f, (lo2, hi2), batch_size=block)
+    m = out_lo.shape[-1]
+    return GF(out_lo.reshape(batch + (m,)), out_hi.reshape(batch + (m,)))
+
+
+def _mxu_ntt_big(a: GF, inverse: bool) -> GF:
+    """Four-step NTT of ONE huge vector (n > _BLOCK_ELEMS) with each
+    step row-blocked so peak HBM stays ~one block of temps plus the
+    O(n) data/twiddle buffers. Enables 2^24..2^30 single-column
+    transforms on a 16 GB chip (BASELINE.md north-star shape)."""
+    n = a.lo.shape[-1]
+    log_n = n.bit_length() - 1
+    assert a.lo.ndim == 1 and (1 << log_n) == n
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    x = GF(a.lo.reshape(n1, n2), a.hi.reshape(n1, n2))  # [i1, i2]
+    # step 1: n1-point DFT over i1, batched over i2 (row-blocked)
+    xt = GF(jnp.swapaxes(x.lo, 0, 1), jnp.swapaxes(x.hi, 0, 1))  # [i2, i1]
+    s1 = _ntt_auto_impl(xt, inverse)  # [i2, k1]
+    # steps 2+3 fused per row block: twiddle by w^(i2*k1) then n2-point
+    # DFT over i2. Layout (k1, i2) so the twiddle table's rows align
+    # with the mapped axis. The iNTT scale folds into the table (every
+    # output passes through exactly one twiddle, and the NTT is
+    # linear): step 1 already applied 1/n1, so fold the remaining 1/n2.
+    s1t = GF(jnp.swapaxes(s1.lo, 0, 1), jnp.swapaxes(s1.hi, 0, 1))
+    tw = _twiddle_table(log_n1, log_n2, inverse)  # [k1, i2]
+    if inverse:
+        tw = gfp.mul(tw, nttm._scalar_gf(fh.inv(n2)))
+    block = max(1, _BLOCK_ELEMS // n2)
+
+    def f(xs):
+        s = gfp.mul(GF(xs[0], xs[1]), GF(xs[2], xs[3]))
+        out = _mxu_ntt_rec(s, log_n2, inverse)
+        return out.lo, out.hi
+
+    s3_lo, s3_hi = jax.lax.map(
+        f, (s1t.lo, s1t.hi, tw.lo, tw.hi), batch_size=block
+    )  # [k1, k2]
+    out = GF(jnp.swapaxes(s3_lo, 0, 1), jnp.swapaxes(s3_hi, 0, 1))
+    return GF(out.lo.reshape(n), out.hi.reshape(n))
+
+
+def _ntt_auto_impl(a: GF, inverse: bool) -> GF:
+    """HBM-aware dispatch: radix-2 for small n; MXU four-step whole when
+    it fits the budget; row-blocked lax.map for wide batches; staged big
+    path for single vectors beyond the budget. Bit-identical outputs."""
+    n = a.lo.shape[-1]
+    if n < _MXU_MIN:
+        return nttm._ntt_impl(a, inverse)
+    total = a.lo.size
+    if total <= _BLOCK_ELEMS:
+        return _mxu_ntt_impl(a, inverse)
+    if n > _BLOCK_ELEMS:
+        # each row alone busts the budget: staged big transform per row
+        if a.lo.ndim == 1:
+            return _mxu_ntt_big(a, inverse)
+        return _map_rows(
+            lambda row: _mxu_ntt_big(row, inverse), a, 1
+        )
+    block = max(1, _BLOCK_ELEMS // n)
+    return _map_rows(lambda rows: _mxu_ntt_impl(rows, inverse), a, block)
+
 
 def _best_ntt_impl(a: GF, inverse: bool) -> GF:
-    if a.lo.shape[-1] >= _MXU_MIN:
-        return _mxu_ntt_impl(a, inverse)
-    return nttm._ntt_impl(a, inverse)
+    return _ntt_auto_impl(a, inverse)
 
 
 best_ntt = jax.jit(partial(_best_ntt_impl, inverse=False))
