@@ -152,8 +152,17 @@ def main() -> None:
     dev = jax.devices()[0]
     _log(f"device: {dev}")
 
-    mxu = lambda c: mx._mxu_ntt_impl(c, inverse=False)
-    radix2 = lambda c: nttm._ntt_impl(c, inverse=False)
+    # The PRODUCTION dispatch path (`best_ntt`): HBM-aware row-blocking —
+    # the raw `_mxu_ntt_impl` at 256x2^20 asks for ~86 GB of HLO temps and
+    # OOMs a 16 GB chip (BENCH_r02), which is exactly why the prover never
+    # calls it unblocked. Bench what the prover runs.
+    mxu = lambda c: mx._ntt_auto_impl(c, inverse=False)
+    # Radix-2 baseline row-blocked with the same budget so it fits too.
+    radix2 = lambda c: mx._map_rows(
+        lambda rows: nttm._ntt_impl(rows, inverse=False),
+        c,
+        max(1, mx._BLOCK_ELEMS // c.lo.shape[-1]),
+    )
 
     # headline: the STARK trace-commit shape (hundreds of columns);
     # the CPU fallback shrinks it to stay tractable (metric name carries

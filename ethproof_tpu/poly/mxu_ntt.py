@@ -13,11 +13,23 @@ integer-in-float encoding:
     4. output is the (k1, k2) transpose: out[k2*n1 + k1]
   Sizes beyond the base recurse (4096 = 64 x 64, 2^24 = 4096 x 4096...).
 - Exact field matmul: split data and DFT-matrix entries into 8-bit
-  chunks; each chunk-pair product is < 2^16 and a base-64 dot sum stays
-  < 2^22 < 2^24, exactly representable in f32 (HIGHEST precision). The
+  chunks. Integers 0..255 are EXACT in bfloat16 (8 effective mantissa
+  bits), each chunk-pair product is < 2^16, and the MXU accumulates in
+  f32 — exact while partial sums stay < 2^24, i.e. for dot lengths up
+  to 256 (255*255*256 = 16.65M < 2^24). So the chunk matmuls run as
+  native bf16 MXU ops (measured ~6x the f32-HIGHEST rate on v5e, which
+  XLA implements as a 6-pass bf16 decomposition we don't need). The
   8x8 chunk products accumulate into 15 weight buckets (int32, < 2^25,
   exact), which recombine into u32 limbs with explicit carries and one
   Goldilocks reduction.
+- Level partition: a DFT matmul of size 2^b costs 64*2^b MACs/element
+  at MXU efficiency ~min(1,(2^b/128)^2) (the systolic array is 128x128;
+  tiny tiles waste it), plus a fixed per-level elementwise cost
+  (twiddle GF mul + limb recombination, HBM-bound). `_partition` picks
+  the level sizes by DP over that cost model — e.g. 2^20 = 7+7+6
+  (128/128/64-point bases), not the naive halving 5+5+5+5 cascade of
+  MXU-starving 32-point matmuls. Bases are capped at 2^8 by f32
+  accumulator exactness.
 
 Matches ntt.ntt / ntt.intt bit-for-bit (natural order in and out).
 """
@@ -38,8 +50,36 @@ from ..gf.field import GF, _b2u, _reduce128
 from . import ntt as nttm
 
 _U32 = jnp.uint32
-BASE_LOG = 6  # 64-point base DFT
-BASE = 1 << BASE_LOG
+MAX_BASE_LOG = 8  # exactness cap: dot length <= 256 keeps f32 accum exact
+# Per-element DP cost of a 2^lb-point base matmul: 2^lb MACs scaled by
+# MXU-tile efficiency (128x128 array; sub-128 operands pad to a full
+# tile in both M and K). In the same units, one level's elementwise
+# overhead (twiddle mul + 15-bucket limb recombination, ~90 VPU u32 ops
+# at ~400x the per-MAC cost / 64 chunk factor) is ~500.
+_LEVEL_COST = 512
+_BASE_COST = {
+    lb: (1 << lb) * max(1, (128 // (1 << lb)) ** 2) for lb in range(1, 9)
+}
+
+
+@lru_cache(maxsize=None)
+def _partition(log_n: int) -> Tuple[int, ...]:
+    """Optimal level sizes (each <= MAX_BASE_LOG) for a 2^log_n NTT."""
+    if log_n <= MAX_BASE_LOG:
+        return (log_n,)
+    best, best_cost = None, float("inf")
+    for lb in range(1, MAX_BASE_LOG + 1):
+        if lb >= log_n:
+            continue
+        rest = _partition(log_n - lb)
+        cost = (
+            _BASE_COST[lb]
+            + _LEVEL_COST * (len(rest) + 1)
+            + sum(_BASE_COST[p] for p in rest)
+        )
+        if cost < best_cost:
+            best, best_cost = (lb,) + rest, cost
+    return best
 
 
 @lru_cache(maxsize=32)
@@ -67,30 +107,39 @@ def _dft_matrix_chunks(log_n: int, inverse: bool) -> np.ndarray:
 
 
 def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
-    """W @ a over the FIRST axis of a (n, batch...) GF array. Exact."""
+    """DFT over the LAST axis of a (..., n) GF array via exact matmuls.
+
+    out[..., k] = sum_i a[..., i] * W[k, i]. Contracting the minor-most
+    axis keeps the batch layout intact — no transposes enter or leave
+    the matmul (a moveaxis-to-front formulation costs an extra HBM pass
+    each way; measured 36 ms -> 23 ms per 2^24-element level on v5e).
+    """
     n = 1 << log_n
-    w_chunks = jnp.asarray(_dft_matrix_chunks(log_n, inverse))  # (8, n, n)
-    # data 8-bit chunks: (8, n, batch)
+    # 8-bit chunks are exact in bf16; MXU accumulates bf16 products in
+    # f32, exact for dot lengths <= 256 (MAX_BASE_LOG cap). Native-rate
+    # matmuls — no HIGHEST-precision multi-pass decomposition needed.
+    w_chunks = jnp.asarray(
+        _dft_matrix_chunks(log_n, inverse), dtype=jnp.bfloat16
+    )  # (8, n, n) indexed [wc, k, i]
+    # data 8-bit chunks on a LEADING axis: (8, ..., n)
     d = jnp.stack(
         [(a.lo >> (8 * c)) & _U32(0xFF) for c in range(4)]
         + [(a.hi >> (8 * c)) & _U32(0xFF) for c in range(4)]
-    ).astype(jnp.float32)
-    batch_shape = a.lo.shape[1:]
-    d2 = d.reshape(8, n, -1)
+    ).astype(jnp.bfloat16)
+    nd = d.ndim
     # chunk products into 15 weight buckets (int32 exact)
     buckets = [None] * 15
     for wc in range(8):
         m = jax.lax.dot_general(
+            d,
             w_chunks[wc],
-            d2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (n, 8, batch) — contraction over i; d-chunk axis batches
+            dimension_numbers=(((nd - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, ..., k) — contraction over i
         mi = m.astype(jnp.int32)
         for dc in range(8):
             b = wc + dc
-            piece = mi[:, dc, :]
-            buckets[b] = piece if buckets[b] is None else buckets[b] + piece
+            buckets[b] = mi[dc] if buckets[b] is None else buckets[b] + mi[dc]
     # recombine: value = sum_b bucket_b * 2^(8b); buckets < 2^27, so the
     # exact total can reach ~2^139 — five u32 limbs with full carry
     # propagation, then fold limb 4 via 2^128 ≡ -2^32 (mod p).
@@ -111,10 +160,7 @@ def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
             add_at(li + 1, v >> (32 - sh))
     lo, hi = _reduce128(limbs[0], limbs[1], limbs[2], limbs[3])
     # limb4 * 2^128 ≡ -limb4 * 2^32; limb4 * 2^32 < p so GF is canonical
-    res = gfp.sub(GF(lo, hi), GF(jnp.zeros_like(lo), limbs[4]))
-    return GF(
-        res.lo.reshape((n,) + batch_shape), res.hi.reshape((n,) + batch_shape)
-    )
+    return gfp.sub(GF(lo, hi), GF(jnp.zeros_like(lo), limbs[4]))
 
 
 def _twiddle_table(log_n1: int, log_n2: int, inverse: bool) -> GF:
@@ -150,12 +196,10 @@ def _twiddle_table(log_n1: int, log_n2: int, inverse: bool) -> GF:
 
 def _mxu_ntt_rec(a: GF, log_n: int, inverse: bool) -> GF:
     """Natural-order four-step NTT over the LAST axis."""
-    if log_n <= BASE_LOG + 2:  # small sizes: one matmul
-        moved = GF(jnp.moveaxis(a.lo, -1, 0), jnp.moveaxis(a.hi, -1, 0))
-        out = _field_matmul_dft(moved, log_n, inverse)
-        return GF(jnp.moveaxis(out.lo, 0, -1), jnp.moveaxis(out.hi, 0, -1))
-    log_n1 = log_n // 2
-    log_n2 = log_n - log_n1
+    if log_n <= MAX_BASE_LOG:  # small sizes: one matmul over the last axis
+        return _field_matmul_dft(a, log_n, inverse)
+    log_n2 = _partition(log_n)[-1]  # base-matmul level (DP-chosen)
+    log_n1 = log_n - log_n2
     n1, n2 = 1 << log_n1, 1 << log_n2
     batch = a.lo.shape[:-1]
     # x[i1*n2 + i2] -> X[..., i1, i2]
