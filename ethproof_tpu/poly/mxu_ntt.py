@@ -197,6 +197,10 @@ def _twiddle_table(log_n1: int, log_n2: int, inverse: bool) -> GF:
 def _mxu_ntt_rec(a: GF, log_n: int, inverse: bool) -> GF:
     """Natural-order four-step NTT over the LAST axis."""
     if log_n <= MAX_BASE_LOG:  # small sizes: one matmul over the last axis
+        from . import pallas_ntt
+
+        if pallas_ntt.supported(a.lo.size, log_n):
+            return pallas_ntt.dft_last_axis(a, log_n, inverse)
         return _field_matmul_dft(a, log_n, inverse)
     log_n2 = _partition(log_n)[-1]  # base-matmul level (DP-chosen)
     log_n1 = log_n - log_n2

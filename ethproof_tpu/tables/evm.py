@@ -125,12 +125,17 @@ AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
 SHL, SHR, SAR = 0x1B, 0x1C, 0x1D
 KECCAK256 = 0x20
 ADDRESS, ORIGIN, CALLER, CALLVALUE = 0x30, 0x32, 0x33, 0x34
+BALANCE = 0x31
 CALLDATALOAD, CALLDATASIZE, CALLDATACOPY = 0x35, 0x36, 0x37
-CODECOPY = 0x39
+CODESIZE, CODECOPY = 0x38, 0x39
 GASPRICE = 0x3A
+EXTCODESIZE, EXTCODEHASH = 0x3B, 0x3F
 RETURNDATASIZE = 0x3D
+BLOCKHASH = 0x40
 COINBASE, TIMESTAMP, NUMBER = 0x41, 0x42, 0x43
 GASLIMIT, CHAINID, BASEFEE = 0x45, 0x46, 0x48
+SELFBALANCE = 0x47
+GAS_OP = 0x5A
 POP = 0x50
 MLOAD, MSTORE, MSTORE8 = 0x51, 0x52, 0x53
 SLOAD, SSTORE = 0x54, 0x55
