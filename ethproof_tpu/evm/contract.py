@@ -164,9 +164,13 @@ def machine_inputs_for_tx(
 
 def tx_env_words(gi: GenerationInputs, tx, caller: int) -> Dict[str, int]:
     """The machine's environment-opcode words, derived from the tx and
-    the block metadata (single-frame: origin == caller)."""
+    the block metadata (single-frame: origin == caller), plus the gas
+    budget, EIP-2929 pre-warmed addresses, and the environment-query
+    resolver (BALANCE/EXTCODE*/BLOCKHASH answers from the witness)."""
+    from .gas import intrinsic_gas
+
     bm = gi.block_metadata
-    return {
+    env = {
         "address": int.from_bytes(tx.to, "big"),
         "origin": caller,
         "gasprice": tx.effective_gas_price(bm.block_base_fee),
@@ -176,7 +180,71 @@ def tx_env_words(gi: GenerationInputs, tx, caller: int) -> Dict[str, int]:
         "gaslimit": bm.block_gaslimit,
         "chainid": bm.block_chain_id,
         "basefee": bm.block_base_fee,
+        "gas_budget": tx.gas_limit - intrinsic_gas(tx),
     }
+    # EIP-2929 pre-warm: origin, target, coinbase (EIP-3651), the
+    # precompile range, and access-list addresses
+    warm = {caller, env["address"], env["coinbase"]}
+    warm.update(range(1, 10))
+    warm.update(int.from_bytes(a, "big") for a, _k in tx.access_list)
+    env["warm_addrs"] = tuple(sorted(warm))
+    env["query_resolver"] = _witness_query_resolver(gi, tx, caller)
+    return env
+
+
+def _witness_query_resolver(gi: GenerationInputs, tx, caller: int):
+    """Environment-query answers re-derived from the witness state
+    (the same function serves the prover's trace generation and the
+    verifier's PI re-derivation — both sides replay it)."""
+    from ..tables.evm import (
+        BALANCE, BLOCKHASH, EXTCODEHASH, EXTCODESIZE, SELFBALANCE,
+    )
+
+    bm = gi.block_metadata
+    to_int = int.from_bytes(tx.to, "big")
+    base_fee = bm.block_base_fee
+    prepaid = tx.gas_limit * tx.effective_gas_price(base_fee)
+
+    def balance_of(addr: int) -> int:
+        raw = gi.tries.state_trie.get(
+            _acct_key(addr.to_bytes(20, "big"))
+        )
+        bal = decode_account(raw)["balance"] if raw is not None else 0
+        # mid-frame adjustments: the sender prepaid gas and sent value,
+        # the callee was credited value (single-frame: no other moves)
+        if addr == caller:
+            bal -= prepaid + tx.value
+        if addr == to_int:
+            bal += tx.value
+        return bal
+
+    def resolve(op: int, arg: int) -> int:
+        if op in (BALANCE, SELFBALANCE):
+            return balance_of(arg)
+        if op in (EXTCODESIZE, EXTCODEHASH):
+            raw = gi.tries.state_trie.get(
+                _acct_key(arg.to_bytes(20, "big"))
+            )
+            if raw is None:
+                return 0
+            ch = decode_account(raw)["code_hash"]
+            if op == EXTCODEHASH:
+                return int.from_bytes(ch, "big")
+            if ch == EMPTY_CODE_HASH:
+                return 0
+            code = gi.contract_code.get(ch)
+            assert code is not None, "EXTCODESIZE target code not in witness"
+            return len(code)
+        if op == BLOCKHASH:
+            cur = bm.block_number
+            n_prev = len(gi.block_hashes.prev_hashes)
+            if cur - n_prev <= arg < cur:
+                h = gi.block_hashes.prev_hashes[arg - (cur - n_prev)]
+                return int.from_bytes(h, "big")
+            return 0
+        raise AssertionError(f"unexpected query opcode {op:#x}")
+
+    return resolve
 
 
 def consensus_gas_used(gi: GenerationInputs, res=None) -> int:
@@ -340,7 +408,7 @@ def expected_machine_pi(
     pi = [
         caller, tx.value, env["address"], env["origin"], env["gasprice"],
         env["coinbase"], env["timestamp"], env["number"], env["gaslimit"],
-        env["chainid"], env["basefee"],
+        env["chainid"], env["basefee"], env["gas_budget"],
     ] + cd_words
     pi.append(le_word(keccak256(code_padded)))
     return pi, sender, tx.to
@@ -408,6 +476,11 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
         if pi[lay["gas"]] != res.gas_used:
             return False
         if pi[lay["refund"]] != res.gas_refund % fh.P:
+            return False
+        # the full PI vector must equal the witness replay's — this
+        # covers the environment-query tuples (BALANCE/EXTCODE*/
+        # BLOCKHASH answers + EIP-2929 account-access gas) verbatim
+        if list(pi) != list(res.pi_words):
             return False
     except Exception:
         return False

@@ -70,35 +70,40 @@ equality-predicate witnesses against SEG_SORIG). GAS and REFUND bind to
 public inputs on the last row; evm/contract.py adds the intrinsic cost
 and the refund cap and checks the witness's gas delta (evm/gas.py).
 
-Supported opcode families: STOP, ADD/MUL/SUB/DIV/MOD/ADDMOD/MULMOD,
+Supported opcode families: STOP, ADD/MUL/SUB/DIV/MOD/ADDMOD/MULMOD/EXP
+(square-and-multiply micro-rows, exact MSB termination, 50/byte gas),
 LT/GT/SLT/SGT/EQ/ISZERO, AND/OR/XOR/NOT/BYTE/SHL/SHR/SAR/SIGNEXTEND,
 KECCAK256 (any length, multi-block), ADDRESS/ORIGIN/CALLER/CALLVALUE/
-CALLDATALOAD/CALLDATASIZE/CALLDATACOPY/CODECOPY/RETURNDATASIZE/
-GASPRICE/COINBASE/TIMESTAMP/NUMBER/GASLIMIT/CHAINID/BASEFEE,
-POP/MLOAD/MSTORE/MSTORE8/MSIZE, SLOAD/SSTORE, JUMP/JUMPI/PC/JUMPDEST,
-PUSH0-32/DUP1-16/SWAP1-16, LOG0-4 (8 events, 256-byte payloads),
-RETURN/REVERT.
+CALLDATALOAD/CALLDATASIZE/CALLDATACOPY/CODESIZE/CODECOPY/
+RETURNDATASIZE/RETURNDATACOPY/GASPRICE/COINBASE/TIMESTAMP/NUMBER/
+GASLIMIT/CHAINID/BASEFEE/GAS, BALANCE/SELFBALANCE/EXTCODESIZE/
+EXTCODEHASH/BLOCKHASH (environment-query directory: PI 4-tuples the
+verifier re-derives from the witness; EIP-2929 account-access gas),
+CALL/STATICCALL to precompiles 1-4 (ecrecover/sha256/ripemd160/
+identity; input+output words PI-bound, the verifier replays the
+precompile), POP/MLOAD/MSTORE/MSTORE8/MSIZE, SLOAD/SSTORE,
+JUMP/JUMPI/PC/JUMPDEST, PUSH0-32/DUP1-16/SWAP1-16, LOG0-4 (8 events,
+256-byte payloads), RETURN/REVERT. The 1024-slot EVM stack-depth limit
+is enforced in-circuit (SP decomposition columns).
 
 Documented envelope (host generator raises Unsupported outside it; each
 item is a completeness gap, never a soundness gap):
-  - single call context (the proved frame is the tx's direct call): no
-    CALL/DELEGATECALL/STATICCALL/CREATE*, no EXTCODE*/BALANCE/
-    SELFBALANCE/BLOCKHASH/EXP/GAS/CODESIZE/EXTCODEHASH;
+  - single EVM call context: no inner frames into CONTRACT code (calls
+    to precompiles 1-4 ARE supported — value must be 0, args length
+    1..256, retLen 0 or the output length, and the precompile must
+    succeed), no DELEGATECALL, no CREATE*, no EXTCODECOPY;
   - REVERT halts with success=0 but state rollback is not replayed
     (the outer kernel must not use the journal of a reverted frame);
   - LOG* pops its operands; topics + data bind to per-log public
     inputs (receipts re-assembled and root-checked by evm/contract.py);
   - RETURN data is popped but not exposed;
-  - the 1024-slot EVM stack-depth limit is not enforced (execution is
-    deterministic given code+calldata, so this diverges from consensus
-    only for programs that legitimately overflow — the host generator
-    is the completeness gate);
   - memory high-water mark < 2^16 words (2 MB; ~8.5M expansion gas, so
     consensus-reachable traces fit) — larger offsets are Unsupported
     rather than EVM's read-zeros semantics; KECCAK256 and copy lengths
     < 2^16;
   - running out of gas mid-frame is not modelled (an OOG tx is outside
-    the envelope; the witness gas limit is assumed sufficient).
+    the envelope; the witness gas limit is assumed sufficient); the GAS
+    opcode needs a 32-bit gas budget witness (tx gas limit-intrinsic).
 """
 
 from __future__ import annotations
@@ -119,6 +124,7 @@ from .memory import MemoryOp
 STOP = 0x00
 ADD, MUL, SUB, DIV, MOD = 0x01, 0x02, 0x03, 0x04, 0x06
 ADDMOD, MULMOD = 0x08, 0x09
+EXP = 0x0A
 SIGNEXTEND = 0x0B
 LT, GT, SLT, SGT, EQ, ISZERO = 0x10, 0x11, 0x12, 0x13, 0x14, 0x15
 AND_, OR_, XOR_, NOT_, BYTE_ = 0x16, 0x17, 0x18, 0x19, 0x1A
@@ -131,6 +137,7 @@ CODESIZE, CODECOPY = 0x38, 0x39
 GASPRICE = 0x3A
 EXTCODESIZE, EXTCODEHASH = 0x3B, 0x3F
 RETURNDATASIZE = 0x3D
+RETURNDATACOPY = 0x3E
 BLOCKHASH = 0x40
 COINBASE, TIMESTAMP, NUMBER = 0x41, 0x42, 0x43
 GASLIMIT, CHAINID, BASEFEE = 0x45, 0x46, 0x48
@@ -148,6 +155,10 @@ DUP1 = 0x80  # DUP1..DUP16
 SWAP1 = 0x90  # SWAP1..SWAP16
 LOG0 = 0xA0  # LOG0..LOG4
 RETURN, REVERT = 0xF3, 0xFD
+CALL, STATICCALL = 0xF1, 0xFA  # precompile targets only (envelope)
+# supported precompiles: 1 = ecrecover, 2 = sha256, 3 = ripemd160,
+# 4 = identity; each succeeds or the witness is Unsupported
+PRECOMPILES = (1, 2, 3, 4)
 
 # opcode -> (pops, pushes) for the simple selectors
 _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
@@ -164,15 +175,25 @@ _LOGIC = {AND_: OP_AND, OR_: OP_OR, XOR_: OP_XOR}
 # parts: memory expansion, keccak words, logs, EIP-2929/2200 storage)
 STATIC_GAS = {
     STOP: 0, ADD: 3, MUL: 5, SUB: 3, DIV: 5, MOD: 5, ADDMOD: 8, MULMOD: 8,
+    EXP: 10,  # + 50 per exponent byte, charged on the TERM row
     LT: 3, GT: 3, SLT: 3, SGT: 3, EQ: 3, ISZERO: 3, AND_: 3, OR_: 3,
     XOR_: 3, NOT_: 3, SIGNEXTEND: 5,
     BYTE_: 3, SHL: 3, SHR: 3, SAR: 3, KECCAK256: 0,
     ADDRESS: 2, ORIGIN: 2, CALLER: 2, CALLVALUE: 2, CALLDATALOAD: 3,
-    CALLDATASIZE: 2, CALLDATACOPY: 3, CODECOPY: 3, RETURNDATASIZE: 2,
+    CALLDATASIZE: 2, CALLDATACOPY: 3, CODESIZE: 2, CODECOPY: 3,
+    RETURNDATASIZE: 2,
     GASPRICE: 2, COINBASE: 2, TIMESTAMP: 2, NUMBER: 2,
-    GASLIMIT: 2, CHAINID: 2, BASEFEE: 2,
+    GASLIMIT: 2, CHAINID: 2, BASEFEE: 2, GAS_OP: 2,
+    # query-directory ops: gas is dynamic (EIP-2929 account access /
+    # BLOCKHASH 20 / SELFBALANCE 5), charged via the per-query gas PI
+    BALANCE: 0, EXTCODESIZE: 0, EXTCODEHASH: 0, BLOCKHASH: 0,
+    SELFBALANCE: 0,
     POP: 2, MLOAD: 3, MSTORE: 3, MSTORE8: 3, MSIZE: 2, SLOAD: 0, SSTORE: 0,
     JUMP: 8, JUMPI: 10, PC_OP: 2, JUMPDEST: 1, RETURN: 0, REVERT: 0,
+    RETURNDATACOPY: 3,
+    # precompile calls: 100 warm access + the precompile's own cost +
+    # memory expansion, all charged on the op row (shape-static parts)
+    CALL: 0, STATICCALL: 0,
 }
 
 # memory segments (KERNEL_CTX/SEG 0/1 belong to the kasm kernel)
@@ -187,6 +208,8 @@ SEG_SKEYS = 9
 SEG_SVALS = 10
 SEG_SWARM = 11  # EIP-2929 warm flags per storage index (0/1)
 SEG_SORIG = 12  # EIP-2200 original (pre-tx) values per storage index
+SEG_RETDATA = 13  # last call's output bytes (one byte per address)
+SEG_EXPS = 14  # EXP scratch words: per EXP t at XP: exp, S (square), ACC
 
 EVM_CTX = 0
 
@@ -216,11 +239,29 @@ class UnknownStorageKey(Exception):
         self.key = key
 
 
+class UnknownQueryCount(Exception):
+    """Execution used more environment queries than shape.n_queries —
+    the discovery loop re-runs with the larger count."""
+
+    def __init__(self, count: int):
+        self.count = count
+
+
+class UnknownCallShape(Exception):
+    """A precompile call fell outside shape.call_shapes — the discovery
+    loop extends the shape and re-runs."""
+
+    def __init__(self, index: int, entry: tuple):
+        self.index, self.entry = index, entry
+
+
 # -- shape (fixes the circuit) -------------------------------------------------
 
 
 MAX_LOGS = 8  # LSEL selector bank width (envelope: <= 8 LOG events/frame)
 MAX_LOG_DATA = 256  # bytes; words beyond the first stage on LOGD rows
+MAX_QUERIES = 8  # QSEL bank width (BALANCE/EXTCODE*/BLOCKHASH/SELFBALANCE)
+MAX_CALLS = 4  # CSEL bank width (precompile calls per frame)
 
 
 @dataclass(frozen=True)
@@ -232,6 +273,19 @@ class EvmShape:
     calldata_len: int
     n_skeys: int  # touched storage slots
     log_rows: int
+    # environment-query directory: BALANCE/EXTCODESIZE/EXTCODEHASH/
+    # BLOCKHASH/SELFBALANCE answers, one (opcode, arg, result, gas)
+    # PI 4-tuple per query in execution order; the verifier re-derives
+    # every tuple from the witness (state trie / block hashes / EIP-2929
+    # address warmth replay). Discovery raises UnknownQueryCount.
+    n_queries: int = 0
+    # precompile calls in execution order: (opcode, precompile_id,
+    # args_len, ret_len) per call — opcode is CALL or STATICCALL,
+    # args_len the popped input length, ret_len the popped return-area
+    # length (envelope: ret_len in {0, output length}). Each call's
+    # input and output words are public inputs; the verifier replays
+    # the precompile on the input words. Discovery: UnknownCallShape.
+    call_shapes: Tuple[Tuple[int, int, int, int], ...] = ()
     # emitted LOG events in execution order: (n_topics, data_len) each;
     # topics and ceil(data_len/32) data words per log become public
     # inputs (the receipts-root binding consumes them, evm/contract.py).
@@ -244,6 +298,18 @@ class EvmShape:
         """PI data words for a log payload (>= 1 — a zero word when
         empty, keeping the receipts rebuild uniform)."""
         return max((dl + 31) // 32, 1)
+
+    @staticmethod
+    def call_out_len(pre_id: int, args_len: int) -> int:
+        """Output byte length of a supported precompile."""
+        return args_len if pre_id == 4 else 32
+
+    @staticmethod
+    def call_in_words(args_len: int) -> int:
+        return (args_len + 31) // 32
+
+    def call_out_words(self, pre_id: int, args_len: int) -> int:
+        return (self.call_out_len(pre_id, args_len) + 31) // 32
 
     @property
     def n_calldata_words(self) -> int:
@@ -293,12 +359,22 @@ class EvmShape:
         lay = {
             "caller": 0, "callvalue": 1, "address": 2, "origin": 3,
             "gasprice": 4, "coinbase": 5, "timestamp": 6, "number": 7,
-            "gaslimit": 8, "chainid": 9, "basefee": 10, "calldata": 11,
+            "gaslimit": 8, "chainid": 9, "basefee": 10, "gasbudget": 11,
+            "calldata": 12,
         }
-        at = 11 + self.n_calldata_words
+        at = 12 + self.n_calldata_words
         lay["codehash"] = at
         lay["storage"] = at + 1
         at = at + 1 + 4 * self.n_skeys
+        # (qop, qarg, qres, qgas) per environment query
+        lay["queries"] = at
+        at += 4 * self.n_queries
+        # per precompile call: input words then output words
+        lay["calls"] = at
+        lay["call_words"] = [None] * len(self.call_shapes)
+        for i, (_op, pid, alen, _rlen) in enumerate(self.call_shapes):
+            lay["call_words"][i] = at
+            at += self.call_in_words(alen) + self.call_out_words(pid, alen)
         lay["logs"] = at
         lay["log_words"] = [None] * len(self.log_shapes)
         for i, (nt, dl) in enumerate(self.log_shapes):
@@ -389,6 +465,37 @@ M8B0 = _c.one()  # MSTORE8: low byte of the popped value (byte-checked);
 M8B1 = _c.one()  # second byte (completes the canonical limb-0 split);
 #                  MSIZE reuses the pair for its limb-0 decomposition
 LSEL = _c.many(MAX_LOGS)  # one-hot log index on LOG/LOGX/LOGD rows
+QIDX = _c.one()  # count of completed environment queries so far
+QSEL = _c.many(MAX_QUERIES)  # one-hot query index on query-op rows
+CIDX = _c.one()  # count of STARTED precompile calls (increments on op row)
+CSEL = _c.many(MAX_CALLS)  # one-hot call index on call rows
+S_CLA = _c.one()  # internal: call row 2 (retOfs/retLen pops, success push)
+S_CLI = _c.one()  # internal: call input-word staging row (NSEL = word)
+S_CLO = _c.one()  # internal: call output-word staging row (NSEL = word)
+RDS = _c.one()  # RETURNDATASIZE register (last call's output length)
+CBGO = _c.one()  # boolean: this (last S_CLO) row hands off to copy-back
+# -- EXP micro-machine (LSB-first square-and-multiply; see the S_EXM/
+# S_EXQ constraint section). NSEL doubles as the one-hot limb index,
+# KWORDS as the exponent byte-length witness, PB[0:3] as its pad bits.
+S_EXI = _c.one()  # internal: EXP row 2 (scratch init: exp, S=base, ACC=1)
+S_EXM = _c.one()  # internal: EXP multiply row (one exponent bit)
+S_EXQ = _c.one()  # internal: EXP square row
+XB = _c.one()  # current exponent bit (bool)
+POW = _c.one()  # 2^(bit position within the current limb)
+LACC = _c.one()  # bits of the current limb accumulated so far
+LB = _c.one()  # boolean: limb boundary (POW == 2^15)
+LBI = _c.one()  # inverse witness for POW - 2^15 != 0
+TERM = _c.one()  # boolean: final multiply row (the exponent's MSB)
+LACN = _c.one()  # LACC + XB*POW (the post-bit accumulator; M/Q rows)
+BITC = _c.one()  # bit counter (0-based index of the processed bit)
+XP = _c.one()  # next free SEG_EXPS address (3 words per EXP)
+# -- stack-depth limit (EVM: at most 1024 items): every row proves
+# SP = SPMX*1024 + (1-SPMX)*(SPB0 + 256*(SPH0 + 2*SPH1)), SPB0 a
+# byte, SPH* bits — so SP <= 1024 always (overflow traces unprovable)
+SPMX = _c.one()
+SPB0 = _c.one()
+SPH0 = _c.one()
+SPH1 = _c.one()
 Z = _c.one()  # iszero/eq/jumpi/scan zero-flag (1 on rows that bind no ZS)
 ZINV = _c.one()  # inverse witness for the nonzero branch
 ZS = _c.one()  # the limb-sum whose zeroness Z decides (bound per op)
@@ -435,7 +542,11 @@ SIMPLE_OPS = (
     GASPRICE, COINBASE, TIMESTAMP, NUMBER, GASLIMIT, CHAINID, BASEFEE,
     POP, MLOAD, MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
     PC_OP, JUMPDEST, RETURN, REVERT,
+    CODESIZE, GAS_OP, BALANCE, EXTCODESIZE, EXTCODEHASH, BLOCKHASH,
+    SELFBALANCE, RETURNDATACOPY, CALL, STATICCALL, EXP,
 )
+# the environment-query directory ops (PI 4-tuples, QSEL-selected)
+QUERY_OPS = (BALANCE, EXTCODESIZE, EXTCODEHASH, BLOCKHASH, SELFBALANCE)
 # environment opcodes and their PI word (pushed verbatim from the env
 # section; the verifier re-derives every word from the tx + block
 # metadata — evm/contract.py expected_machine_pi)
@@ -513,6 +624,16 @@ class EvmInputs:
     gaslimit: int = 0  # block gas limit
     chainid: int = 0
     basefee: int = 0
+    # frame gas allotment (tx gas limit - intrinsic); the GAS opcode
+    # pushes gas_budget - used. 0 = unavailable (GAS -> Unsupported)
+    gas_budget: int = 0
+    # environment-query answers: fn(opcode, arg) -> int result word
+    # (BALANCE/EXTCODESIZE/EXTCODEHASH take the masked address, BLOCKHASH
+    # the block number). None = query opcodes are Unsupported.
+    query_resolver: object = None
+    # EIP-2929 pre-warmed ADDRESSES (origin, to, coinbase, precompiles,
+    # access-list addresses) for account-access gas
+    warm_addrs: Tuple[int, ...] = ()
 
 
 @dataclass
@@ -600,7 +721,7 @@ class _Emitter:
 
     def finish_mults(self) -> None:
         assert self.n >= 256, "byte range check needs >= 2^8 rows"
-        byte_cols = list(REVB) + [RB0, RB1, NB0, NB1, RQB, M8B0, M8B1]
+        byte_cols = list(REVB) + [RB0, RB1, NB0, NB1, RQB, M8B0, M8B1, SPB0]
         revb_vals = self.tr[np.asarray(byte_cols, dtype=np.intp)]
         bc = np.bincount(revb_vals.ravel().astype(np.int64), minlength=256)
         assert bc.shape[0] <= 256 or bc[256:].sum() == 0
@@ -614,6 +735,41 @@ class _Emitter:
         for v in comb_vals:
             cm[lut[int(v)]] += 1
         self.tr[COMB_MULT] = cm
+
+
+def _run_precompile(pre_id: int, data: bytes) -> bytes:
+    """Host evaluation of a supported precompile; Unsupported on failure
+    (the envelope proves only succeeding calls)."""
+    import hashlib
+
+    if pre_id == 1:  # ecrecover
+        from ..evm.secp256k1 import N as CURVE_N, recover_address
+
+        buf = data.ljust(128, b"\0")[:128]
+        h, v, r_, s_ = buf[:32], buf[32:64], buf[64:96], buf[96:128]
+        vi = int.from_bytes(v, "big")
+        ri = int.from_bytes(r_, "big")
+        si = int.from_bytes(s_, "big")
+        if vi not in (27, 28) or not (1 <= ri < CURVE_N) or not (
+            1 <= si < CURVE_N
+        ):
+            raise Unsupported("failing ecrecover call (bad v/r/s)")
+        try:
+            addr = recover_address(h, ri, si, vi - 27)
+        except Exception as e:
+            raise Unsupported(f"failing ecrecover call: {e}")
+        return b"\0" * 12 + addr
+    if pre_id == 2:
+        return hashlib.sha256(data).digest()
+    if pre_id == 3:
+        try:
+            h = hashlib.new("ripemd160", data).digest()
+        except Exception:
+            raise Unsupported("ripemd160 unavailable on this host")
+        return b"\0" * 12 + h
+    if pre_id == 4:
+        return data
+    raise Unsupported(f"precompile {pre_id} not supported")
 
 
 def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
@@ -643,11 +799,18 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
     pi_words = [
         inputs.caller, inputs.callvalue, inputs.address, inputs.origin,
         inputs.gasprice, inputs.coinbase, inputs.timestamp, inputs.number,
-        inputs.gaslimit, inputs.chainid, inputs.basefee,
+        inputs.gaslimit, inputs.chainid, inputs.basefee, inputs.gas_budget,
     ] + cd_words + [codehash]
     for k in skeys:
         # (key, warm0, vpre, vpost) — vpost patched below
         pi_words += [k, warm0[k], inputs.storage_pre[k], 0]
+    # (qop, qarg, qres, qgas) per environment query — patched in EXEC
+    pi_words += [0] * (4 * shape.n_queries)
+    # per-call input/output words — patched in EXEC
+    for (_op, pid, alen, _rlen) in shape.call_shapes:
+        pi_words += [0] * (
+            shape.call_in_words(alen) + shape.call_out_words(pid, alen)
+        )
     for nt, dl in shape.log_shapes:
         # topics + data words, patched on LOG
         pi_words += [0] * (nt + shape.n_data_words(dl))
@@ -747,6 +910,15 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
 
     stack: List[int] = []
     evm_mem: Dict[int, int] = {}  # byte-addressed
+    qd = np.zeros(em.n, dtype=np.uint64)  # 1 on query-op rows (QIDX cumsum)
+    qcount = 0
+    warm_addrs = set(inputs.warm_addrs)
+    ccount = 0  # precompile calls so far
+    xp = 0  # next free SEG_EXPS word address (3 per EXP)
+    xp_rows = np.zeros(em.n, dtype=np.uint64)  # XP register per-row image
+    retdata = b""  # last call's output (RETURNDATASIZE/RETURNDATACOPY)
+    rds_rows = np.zeros(em.n, dtype=np.uint64)  # RDS register per-row image
+    cd_calls = np.zeros(em.n, dtype=np.uint64)  # 1 on call op rows
     storage = dict(inputs.storage_pre)
     logs: List[Tuple[List[int], bytes]] = []
     return_data = b""
@@ -759,6 +931,10 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
 
     def spush(row: int, ch: int, v: int) -> None:
         nonlocal sp
+        if sp >= 1024:
+            raise Unsupported(
+                "stack depth beyond 1024 (EVM would fail the frame)"
+            )
         em.chan(row, ch, 0, SEG_STACK, sp, v)
         stack.append(v)
         sp += 1
@@ -1017,8 +1193,8 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         elif op in ENV_OPS:
             spush(r, 1, pi_words[lay[ENV_OPS[op]]])
         elif op == RETURNDATASIZE:
-            spush(r, 1, 0)  # no inner calls in the envelope
-        elif op in (CALLDATACOPY, CODECOPY):
+            spush(r, 1, len(retdata))
+        elif op in (CALLDATACOPY, CODECOPY, RETURNDATACOPY):
             dest = spop(r, 1)
             src = spop(r, 2)
             ln = spop(r, 3)
@@ -1026,6 +1202,15 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 raise Unsupported("copy length >= 2^16")
             if src >= 1 << 32:
                 raise Unsupported("copy source offset >= 2^32")
+            if op == RETURNDATACOPY:
+                # EIP-211: reading past the returndata end reverts; the
+                # envelope proves only in-bounds copies, and the bound is
+                # enforced in-circuit via the byte-checked M8B witness
+                if src + ln > len(retdata):
+                    raise Unsupported("RETURNDATACOPY out of bounds")
+                slack = len(retdata) - (src + ln)
+                tr[M8B0, r] = slack & 0xFF
+                tr[M8B1, r] = slack >> 8
             meter.charge(3 * ((ln + 31) // 32))
             meter.charge_mem(dest, ln)
             touch(r, dest, ln)
@@ -1035,9 +1220,13 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             kpad = 32 * kwords - ln
             for b in range(5):
                 tr[KPD[b], r] = (kpad >> b) & 1
-            seg_src = SEG_CALLDATA if op == CALLDATACOPY else SEG_CODE
-            src_len = shape.calldata_len if op == CALLDATACOPY else len(code)
-            src_bytes = calldata if op == CALLDATACOPY else code
+            seg_src = {CALLDATACOPY: SEG_CALLDATA, CODECOPY: SEG_CODE,
+                       RETURNDATACOPY: SEG_RETDATA}[op]
+            src_len = {CALLDATACOPY: shape.calldata_len,
+                       CODECOPY: len(code),
+                       RETURNDATACOPY: len(retdata)}[op]
+            src_bytes = {CALLDATACOPY: calldata, CODECOPY: code,
+                         RETURNDATACOPY: retdata}[op]
             tr[R0, r], tr[R1, r], tr[R2, r] = src, dest, ln
             tr[HS_SEG, r] = seg_src
             r0, r1, r2 = src, dest, ln
@@ -1071,6 +1260,290 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                         for k, byte in enumerate(data):
                             evm_mem[r1 + k] = byte
                 r0, r1, r2 = r0 + cs, r1 + cs, r2 - cs
+        elif op == EXP:
+            base_v = stack[-1]
+            exp_v = stack[-2]
+            res_v = pow(base_v, exp_v, 1 << 256)
+            # setup row: pop base (ch1), exp (ch2); for e == 0 push the
+            # result 1 directly (ch3); else write exp and ACC=1 to the
+            # scratch segment (ch3/ch4) and run the micro-machine
+            em.chan(r, 1, 1, SEG_STACK, sp - 1, base_v)
+            em.chan(r, 2, 1, SEG_STACK, sp - 2, exp_v)
+            _fill_iszero(tr, r, exp_v)
+            del stack[-2:]
+            sp -= 2
+            if exp_v == 0:
+                em.chan(r, 3, 0, SEG_STACK, sp, 1)
+                stack.append(1)
+                sp += 1
+            else:
+                em.chan(r, 3, 0, SEG_EXPS, xp, exp_v)
+                em.chan(r, 4, 0, SEG_EXPS, xp + 2, 1)
+                # EXI row: write S = base, copy exp/base words across
+                r += 1
+                if r >= budget_end:
+                    raise Unsupported("execution rows exhausted in EXP")
+                tr[S_EXI, r] = 1
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[HP, r] = hp
+                tr[LOGIDX, r] = len(logs)
+                em.chan(r, 1, 1, SEG_STACK, sp + 1, base_v)  # re-read base
+                em.chan(r, 2, 0, SEG_EXPS, xp + 1, base_v)  # S_0
+                nbits = exp_v.bit_length()
+                acc_v, s_v = 1, base_v
+                exp_limbs = _word_limbs(exp_v)
+                for i in range(nbits):
+                    b = (exp_v >> i) & 1
+                    j, w = i // 16, i % 16
+                    is_term = i == nbits - 1
+                    # M row: ACC' = ACC * (b ? S : 1)
+                    r += 1
+                    if r >= budget_end:
+                        raise Unsupported("execution rows exhausted in EXP")
+                    mult = s_v if b else 1
+                    acc_n = acc_v * mult % (1 << 256)
+                    tr[S_EXM, r] = 1
+                    tr[XB, r] = b
+                    tr[POW, r] = 1 << w
+                    tr[LACC, r] = sum(
+                        ((exp_v >> (16 * j + k)) & 1) << k for k in range(w)
+                    )
+                    tr[LACN, r] = int(tr[LACC, r]) + b * (1 << w)
+                    tr[BITC, r] = i
+                    tr[NSEL[j], r] = 1
+                    if w == 15:
+                        tr[LB, r] = 1
+                    else:
+                        tr[LBI, r] = fh.inv(((1 << w) - (1 << 15)) % fh.P)
+                    tr[PC, r] = pc
+                    tr[SP, r] = sp
+                    tr[HP, r] = hp
+                    tr[LOGIDX, r] = len(logs)
+                    em.chan(r, 1, 1, SEG_EXPS, xp + 2, acc_v)
+                    if b:
+                        em.chan(r, 2, 1, SEG_EXPS, xp + 1, s_v)
+                    else:
+                        for k, l in enumerate(_word_limbs(1)):
+                            tr[CH_VAL[2][k], r] = l
+                    if is_term:
+                        tr[TERM, r] = 1
+                        blen = (nbits + 7) // 8
+                        meter.charge(50 * blen)
+                        gd[r] += 50 * blen
+                        u0 += 50 * blen  # charged here, not on the op row
+                        tr[KWORDS, r] = blen
+                        pad = 8 * blen - i - 1
+                        for pb_ in range(3):
+                            tr[PB[pb_], r] = (pad >> pb_) & 1
+                        em.chan(r, 3, 0, SEG_STACK, sp, acc_n)
+                        stack.append(acc_n)
+                        sp += 1
+                    else:
+                        em.chan(r, 3, 0, SEG_EXPS, xp + 2, acc_n)
+                    em.chan(r, 4, 1, SEG_EXPS, xp, exp_v)
+                    em.arith.append((ar.OP_MUL, acc_v, mult))
+                    tr[AR_PLAIN, r] = 1
+                    acc_v = acc_n
+                    if is_term:
+                        break
+                    # Q row: S' = S * S
+                    r += 1
+                    if r >= budget_end:
+                        raise Unsupported("execution rows exhausted in EXP")
+                    s_n = s_v * s_v % (1 << 256)
+                    tr[S_EXQ, r] = 1
+                    tr[XB, r] = b
+                    tr[POW, r] = 1 << w
+                    tr[LACC, r] = int(tr[LACC, r - 1])
+                    tr[LACN, r] = int(tr[LACN, r - 1])
+                    tr[BITC, r] = i
+                    tr[NSEL[j], r] = 1
+                    if w == 15:
+                        tr[LB, r] = 1
+                    else:
+                        tr[LBI, r] = fh.inv(((1 << w) - (1 << 15)) % fh.P)
+                    tr[PC, r] = pc
+                    tr[SP, r] = sp
+                    tr[HP, r] = hp
+                    tr[LOGIDX, r] = len(logs)
+                    em.chan(r, 1, 1, SEG_EXPS, xp + 1, s_v)
+                    em.chan(r, 2, 1, SEG_EXPS, xp + 1, s_v)
+                    em.chan(r, 3, 0, SEG_EXPS, xp + 1, s_n)
+                    em.arith.append((ar.OP_MUL, s_v, s_v))
+                    tr[AR_PLAIN, r] = 1
+                    s_v = s_n
+                assert acc_v == res_v
+                xp_rows[r + 1:] = xp + 3
+                xp += 3
+        elif op in (CALL, STATICCALL):
+            is_call = op == CALL
+            d = 1 if is_call else 0
+            # stack (top down): gas, addr, [value,] argsOfs, argsLen,
+            # retOfs, retLen — spread over the op row and the CLA row
+            gasw = stack[-1]
+            addr = stack[-2]
+            value = stack[-3] if is_call else 0
+            args_ofs = stack[-3 - d]
+            args_len = stack[-4 - d]
+            ret_ofs = stack[-5 - d]
+            ret_len = stack[-6 - d]
+            if addr not in PRECOMPILES:
+                raise Unsupported(
+                    f"inner call target {addr:#x} is not a supported "
+                    "precompile (general frames outside the envelope)"
+                )
+            if value != 0:
+                raise Unsupported("precompile call with value")
+            if not (1 <= args_len <= 256):
+                raise Unsupported("precompile args length outside 1..256")
+            if args_ofs >= 1 << 32 or ret_ofs >= 1 << 32:
+                raise Unsupported("call memory offset >= 2^32")
+            out_len = shape.call_out_len(addr, args_len)
+            if ret_len not in (0, out_len):
+                raise Unsupported(
+                    "call retLen must be 0 or the output length"
+                )
+            entry = (op, addr, args_len, ret_len)
+            if ccount >= len(shape.call_shapes):
+                raise UnknownCallShape(ccount, entry)
+            if shape.call_shapes[ccount] != entry:
+                raise UnknownCallShape(ccount, entry)
+            if ccount >= MAX_CALLS:
+                raise Unsupported(f"more than {MAX_CALLS} precompile calls")
+            ci = ccount
+            cd_calls[r] = 1
+            in_words = shape.call_in_words(args_len)
+            out_words = shape.call_out_words(addr, args_len)
+            data = bytes(evm_mem.get(args_ofs + k, 0) for k in range(args_len))
+            output = _run_precompile(addr, data)
+            assert len(output) == out_len
+            # gas: warm account access + precompile cost on the op row;
+            # ret-area expansion charges on the CLA row's transition
+            wcount = (args_len + 31) // 32
+            pre_cost = {1: 3000, 2: 60 + 12 * wcount, 3: 600 + 120 * wcount,
+                        4: 15 + 3 * wcount}[addr]
+            meter.charge(100 + pre_cost)
+            meter.charge_mem(args_ofs, args_len)
+            touch(r, args_ofs, args_len)
+            # op row: ch1 argsOfs, ch2 argsLen, ch3 gas, ch4 addr
+            tr[CSEL[ci], r] = 1
+            tr[R0, r] = args_ofs
+            em.chan(r, 1, 1, SEG_STACK, sp - 3 - d, args_ofs)
+            em.chan(r, 2, 1, SEG_STACK, sp - 4 - d, args_len)
+            em.chan(r, 3, 1, SEG_STACK, sp - 1, gasw)
+            em.chan(r, 4, 1, SEG_STACK, sp - 2, addr)
+            del stack[-4 - d:]
+            sp -= 4 + d
+            gd[op_row] += meter.used - u0
+            u0 = meter.used
+            # CLA row: ch1 retOfs, ch2 retLen, ch3 success write,
+            # ch4 value read (CALL only)
+            r += 1
+            if r >= budget_end:
+                raise Unsupported("execution rows exhausted in call")
+            tr[S_CLA, r] = 1
+            tr[CSEL[ci], r] = 1
+            cla_row = r
+            tr[PC, r] = pc
+            tr[SP, r] = sp
+            tr[HP, r] = hp
+            tr[LOGIDX, r] = len(logs)
+            tr[R0, r] = args_ofs
+            tr[R1, r] = ret_ofs
+            em.chan(r, 1, 1, SEG_STACK, sp - 1, ret_ofs)
+            em.chan(r, 2, 1, SEG_STACK, sp - 2, ret_len)
+            em.chan(r, 3, 0, SEG_STACK, sp - 2, 1)  # success
+            if is_call:
+                em.chan(r, 4, 1, SEG_STACK, sp + 2, value)
+            if ret_len:
+                meter.charge_mem(ret_ofs, ret_len)
+                touch(r, ret_ofs, ret_len)
+            gd[r] += meter.used - u0
+            u0 = meter.used
+            del stack[-2:]
+            stack.append(1)
+            sp -= 1
+            # input-word staging rows (PI-bound via REVB)
+            qb = lay["call_words"][ci]
+            for w in range(in_words):
+                r += 1
+                if r >= budget_end:
+                    raise Unsupported("execution rows exhausted in call")
+                tr[S_CLI, r] = 1
+                tr[CSEL[ci], r] = 1
+                tr[NSEL[w], r] = 1
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[HP, r] = hp
+                tr[LOGIDX, r] = len(logs)
+                tr[R0, r] = args_ofs
+                tr[R1, r] = ret_ofs
+                cs = min(32, args_len - 32 * w)
+                em.pack(r, 1, SEG_MAIN, args_ofs + 32 * w,
+                        data[32 * w: 32 * w + cs])
+                pi_words[qb + w] = int.from_bytes(
+                    data[32 * w: 32 * w + 32].ljust(32, b"\0"), "big"
+                )
+            # output-word staging rows (write SEG_RETDATA, PI-bound)
+            cb = ret_len  # copy-back length (0 or out_len)
+            for w in range(out_words):
+                r += 1
+                if r >= budget_end:
+                    raise Unsupported("execution rows exhausted in call")
+                tr[S_CLO, r] = 1
+                tr[CSEL[ci], r] = 1
+                tr[NSEL[w], r] = 1
+                tr[PC, r] = pc
+                tr[SP, r] = sp
+                tr[HP, r] = hp
+                tr[LOGIDX, r] = len(logs)
+                tr[R1, r] = ret_ofs
+                tr[R2, r] = cb
+                tr[HS_SEG, r] = SEG_RETDATA
+                cs = min(32, out_len - 32 * w)
+                em.pack(r, 0, SEG_RETDATA, 32 * w,
+                        output[32 * w: 32 * w + cs])
+                pi_words[qb + in_words + w] = int.from_bytes(
+                    output[32 * w: 32 * w + 32].ljust(32, b"\0"), "big"
+                )
+            retdata = output
+            # the RDS register flips on the op->CLA transition
+            rds_rows[cla_row:] = out_len
+            # copy-back to memory[retOfs:retOfs+retLen] via CPR/CPW rows
+            if cb:
+                tr[CBGO, r] = 1
+                r0, r1, r2 = 0, ret_ofs, cb
+                while r2 > 0:
+                    cs = min(32, r2)
+                    fullc = 1 if r2 > 32 else 0
+                    rck = (r2 - 33) if fullc else (32 - r2)
+                    chunk = output[r0: r0 + cs]
+                    for row_kind in (S_CPR, S_CPW):
+                        r += 1
+                        if r >= budget_end:
+                            raise Unsupported(
+                                "execution rows exhausted in call copy"
+                            )
+                        tr[row_kind, r] = 1
+                        tr[FULLC, r] = fullc
+                        tr[CSW, r] = cs
+                        if row_kind == S_CPR:
+                            tr[RB0, r], tr[RB1, r] = rck & 0xFF, rck >> 8
+                        tr[R0, r], tr[R1, r], tr[R2, r] = r0, r1, r2
+                        tr[HS_SEG, r] = SEG_RETDATA
+                        tr[PC, r] = pc
+                        tr[SP, r] = sp
+                        tr[HP, r] = hp
+                        tr[LOGIDX, r] = len(logs)
+                        if row_kind == S_CPR:
+                            em.pack(r, 1, SEG_RETDATA, r0, chunk)
+                        else:
+                            em.pack(r, 0, SEG_MAIN, r1, chunk)
+                            for k, byte in enumerate(chunk):
+                                evm_mem[r1 + k] = byte
+                    r0, r1, r2 = r0 + cs, r1 + cs, r2 - cs
+            ccount += 1
         elif op == MSIZE:
             msize = 32 * meter.mem_words
             tr[M8B0, r] = msize & 0xFF
@@ -1090,6 +1563,55 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             evm_mem[ofs] = byte
         elif op == CALLDATASIZE:
             spush(r, 1, shape.calldata_len)
+        elif op == CODESIZE:
+            spush(r, 1, shape.code_len)
+        elif op == GAS_OP:
+            # pushes gas remaining AFTER this op's own charge (already
+            # applied via STATIC_GAS); bound in-circuit to the gasbudget
+            # PI minus the running GAS column via a 4-byte decomposition
+            v = inputs.gas_budget - meter.used
+            if inputs.gas_budget <= 0 or v < 0 or v >= 1 << 32:
+                raise Unsupported("GAS opcode needs a 32-bit gas budget")
+            tr[M8B0, r] = v & 0xFF
+            tr[M8B1, r] = (v >> 8) & 0xFF
+            tr[RB0, r] = (v >> 16) & 0xFF
+            tr[RB1, r] = (v >> 24) & 0xFF
+            spush(r, 1, v)
+        elif op in QUERY_OPS:
+            # environment-query directory: (opcode, arg, result, gas)
+            # binds to PI 4-tuple qcount; the verifier re-derives every
+            # tuple from the witness (state trie / block hashes / warmth)
+            if qcount >= shape.n_queries:
+                raise UnknownQueryCount(qcount + 1)
+            if qcount >= MAX_QUERIES:
+                raise Unsupported(f"more than {MAX_QUERIES} env queries")
+            if inputs.query_resolver is None:
+                raise Unsupported(f"opcode {op:#x} needs a query resolver")
+            if op == SELFBALANCE:
+                arg = pi_words[lay["address"]]
+                res = int(inputs.query_resolver(op, arg))
+                cost = 5
+                spush(r, 1, res)
+            else:
+                arg = spop(r, 1)
+                if op == BLOCKHASH:
+                    res = int(inputs.query_resolver(op, arg))
+                    cost = 20
+                else:
+                    addr = arg & ((1 << 160) - 1)
+                    res = int(inputs.query_resolver(op, addr))
+                    cost = 100 if addr in warm_addrs else 2600
+                    warm_addrs.add(addr)
+                spush(r, 2, res)
+            meter.charge(cost)
+            qd[r] = 1
+            tr[QSEL[qcount], r] = 1
+            qbase = lay["queries"] + 4 * qcount
+            pi_words[qbase] = op
+            pi_words[qbase + 1] = arg
+            pi_words[qbase + 2] = res
+            pi_words[qbase + 3] = cost
+            qcount += 1
         elif op == CALLDATALOAD:
             ofs = spop(r, 1)
             if ofs >= 1 << 32:
@@ -1294,6 +1816,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             pc += 1
         r += 1
 
+    assert ccount == len(shape.call_shapes), "unused call shapes"
     halt_row = r - 1
     # padding exec rows: HALTED sticks, registers carry
     for rr in range(r, exec_end):
@@ -1347,6 +1870,22 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         if grow:
             rq = nw_ * nw_ - 512 * ((nw_ * nw_) // 512)
             tr[RQB, rr], tr[RQBIT, rr] = rq & 0xFF, rq >> 8
+    # QIDX: completed queries before each row (uniform over all phases)
+    tr[QIDX, 1:] = np.cumsum(qd)[:-1]
+    tr[RDS] = rds_rows
+    tr[XP] = xp_rows
+    # CIDX: calls STARTED before each row (increments on call op rows)
+    tr[CIDX, 1:] = np.cumsum(cd_calls)[:-1]
+    # stack-depth decomposition: SP = SPMX*1024 + (1-SPMX)*(SPB0+256*hi)
+    spv = tr[SP].astype(np.int64)
+    assert spv.max() <= 1024
+    mx = spv == 1024
+    tr[SPMX] = mx.astype(np.uint64)
+    rem = np.where(mx, 0, spv)
+    tr[SPB0] = (rem & 0xFF).astype(np.uint64)
+    hi = rem >> 8
+    tr[SPH0] = (hi & 1).astype(np.uint64)
+    tr[SPH1] = (hi >> 1).astype(np.uint64)
     assert int(gd.sum()) == meter.used, "gas column diverges from the meter"
     assert int(rdl.sum()) == meter.refund, "refund column diverges"
     pi_words.append(meter.used)
@@ -1386,12 +1925,16 @@ def discover_and_execute(
     evm/contract.py reads missing slots from the witness trie). `env`
     carries the environment-opcode words (EvmInputs field names)."""
     log_shapes: List[Tuple[int, int]] = []
+    call_shapes: List[Tuple[int, int, int, int]] = []
+    n_queries = 0
     while True:
         shape = EvmShape(
             code_len=len(code),
             calldata_len=len(calldata),
             n_skeys=len(storage_pre),
             log_rows=log_rows,
+            n_queries=n_queries,
+            call_shapes=tuple(call_shapes),
             log_shapes=tuple(log_shapes),
         )
         inputs = EvmInputs(
@@ -1403,6 +1946,15 @@ def discover_and_execute(
         except UnknownLogShape as miss:
             assert miss.index == len(log_shapes)
             log_shapes.append((miss.n_topics, miss.data_len))
+        except UnknownQueryCount as miss:
+            assert miss.count > n_queries
+            n_queries = miss.count
+        except UnknownCallShape as miss:
+            if miss.index < len(call_shapes):
+                call_shapes[miss.index] = miss.entry
+            else:
+                assert miss.index == len(call_shapes)
+                call_shapes.append(miss.entry)
 
 
 def _fill_iszero(tr, r, v: int) -> None:
@@ -1471,7 +2023,11 @@ _SP_DELTA = {
     SLOAD: 0, SSTORE: -2, JUMP: -1, JUMPI: -2, PC_OP: 1, JUMPDEST: 0,
     RETURN: -2, REVERT: -2, ADDRESS: 1, ORIGIN: 1, GASPRICE: 1,
     COINBASE: 1, TIMESTAMP: 1, NUMBER: 1, GASLIMIT: 1, CHAINID: 1,
-    BASEFEE: 1,
+    BASEFEE: 1, CODESIZE: 1, GAS_OP: 1, SELFBALANCE: 1,
+    BALANCE: 0, EXTCODESIZE: 0, EXTCODEHASH: 0, BLOCKHASH: 0,
+    RETURNDATACOPY: -3,
+    CALL: -5, STATICCALL: -4,  # the S_CLA row drops one more
+    EXP: -2,  # the TERM micro-row pushes the result (+1 there)
 }
 _PC_ADV = {op: 1 for op in SIMPLE_OPS}
 _PC_ADV[JUMP] = 0  # handled by the jump correction term
@@ -1480,6 +2036,10 @@ _PC_ADV[SLOAD] = 0  # the S_SLX continuation row advances pc
 _PC_ADV[SSTORE] = 0  # the S_SSX continuation row advances pc
 _PC_ADV[CALLDATACOPY] = 0  # the final S_CPW row advances pc (or the op
 _PC_ADV[CODECOPY] = 0  # row itself for a zero-length copy)
+_PC_ADV[RETURNDATACOPY] = 0  # same copy choreography as CALLDATACOPY
+_PC_ADV[CALL] = 0  # advances on the call's completion row
+_PC_ADV[STATICCALL] = 0
+_PC_ADV[EXP] = 0  # advances on the TERM row (or the setup row if e == 0)
 
 # arithmetic-table ops in EVM operand order (ch1, ch2 as popped)
 _ARITH_PLAIN = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB,
@@ -1532,7 +2092,8 @@ class EvmStark(Stark):
         self.lookups = [
             LookupSpec(
                 # REVB plus the gas circuit's byte-decomposition columns
-                looking_cols=tuple(REVB) + (RB0, RB1, NB0, NB1, RQB, M8B0, M8B1),
+                looking_cols=tuple(REVB)
+                + (RB0, RB1, NB0, NB1, RQB, M8B0, M8B1, SPB0),
                 table_col=NUM_COLUMNS + self.F_BYTE,
                 multiplicity_col=BYTE_MULT,
             ),
@@ -1638,10 +2199,14 @@ class EvmStark(Stark):
 
     def arith_ctl_specs(self) -> List[CtlSpec]:
         zero16 = [LC(terms=(), const=0)] * N_LIMBS  # binary ops: IN2 = 0
+        plain_opid = LC(
+            terms=tuple((SEL[op], tid) for op, tid in _ARITH_PLAIN.items())
+            + ((S_EXM, ar.OP_MUL), (S_EXQ, ar.OP_MUL)),
+            const=0,
+        )
         plain = CtlSpec(
             columns=tuple(
-                [self._opid_lc(_ARITH_PLAIN)]
-                + CH_VAL[1] + CH_VAL[2] + zero16 + CH_VAL[3]
+                [plain_opid] + CH_VAL[1] + CH_VAL[2] + zero16 + CH_VAL[3]
             ),
             filter_col=AR_PLAIN,
         )
@@ -1746,6 +2311,24 @@ class EvmStark(Stark):
         kpack, kdig = L(S_KPACK), L(S_KDIG)
         slx, ssx = L(S_SLX), L(S_SSX)
         cpr, cpw = L(S_CPR), L(S_CPW)
+        cla, cli, clo = L(S_CLA), L(S_CLI), L(S_CLO)
+        exi, exm, exq = L(S_EXI), L(S_EXM), L(S_EXQ)
+        term = L(TERM)
+        csel = [L(CSEL[i]) for i in range(MAX_CALLS)]
+        callop = o.add(sel[CALL], sel[STATICCALL])
+        n_calls = len(s.call_shapes)
+        # per-call static data
+        call_op_i = [cs_[0] for cs_ in s.call_shapes]
+        call_pid = [cs_[1] for cs_ in s.call_shapes]
+        call_alen = [cs_[2] for cs_ in s.call_shapes]
+        call_rlen = [cs_[3] for cs_ in s.call_shapes]
+        call_inw = [s.call_in_words(a) for a in call_alen]
+        call_outw = [
+            s.call_out_words(p, a) for p, a in zip(call_pid, call_alen)
+        ]
+        call_outlen = [
+            s.call_out_len(p, a) for p, a in zip(call_pid, call_alen)
+        ]
         halted = L(HALTED)
         pc, sp = L(PC), L(SP)
         z, zinv, zs = L(Z), L(ZINV), L(ZS)
@@ -1763,7 +2346,9 @@ class EvmStark(Stark):
              GROW, RQBIT, E_VC, E_CO, E_VO, EO0, EV0, FULLC]
             + list(PB) + list(KP) + list(KPD)
             + list(S_VC) + list(S_CO) + list(S_VO)
-            + list(LSEL)
+            + list(LSEL) + list(QSEL) + [SPMX, SPH0, SPH1]
+            + list(CSEL) + [S_CLA, S_CLI, S_CLO, CBGO]
+            + [S_EXI, S_EXM, S_EXQ, XB, LB, TERM]
             + [SEL[op] for op in SIMPLE_OPS]
             + list(NSEL)
             + CH_USED
@@ -1790,7 +2375,12 @@ class EvmStark(Stark):
         logx, logd = L(S_LOGX), L(S_LOGD)
         all_sum = o.add(
             o.add(o.add(simple_sum, fam_sum), o.add(o.add(kpack, kdig), logx)),
-            o.add(o.add(o.add(slx, ssx), logd), o.add(cpr, cpw)),
+            o.add(
+                o.add(
+                    o.add(o.add(slx, ssx), logd), o.add(exi, o.add(exm, exq))
+                ),
+                o.add(o.add(cpr, cpw), o.add(cla, o.add(cli, clo))),
+            ),
         )
         c.constraint(o.sub(all_sum, act))
         nsel_sum = None
@@ -1799,8 +2389,17 @@ class EvmStark(Stark):
             nsel_sum = nsel[n] if nsel_sum is None else o.add(nsel_sum, nsel[n])
             t = o.mul(const(n), nsel[n])
             nlin = t if nlin is None else o.add(nlin, t)
-        # NSEL doubles as the LOGD data-word index (1..7)
-        c.constraint(o.sub(nsel_sum, o.add(fam_sum, logd)))
+        # NSEL doubles as the LOGD data-word index (1..7) and the call
+        # staging rows' word index (0..7)
+        c.constraint(
+            o.sub(
+                nsel_sum,
+                o.add(
+                    o.add(o.add(fam_sum, logd), o.add(cli, clo)),
+                    o.add(exm, exq),
+                ),
+            )
+        )
         # family n ranges: DUP/SWAP 1..16, LOG 0..4, LOGD words 1..7
         c.constraint(o.mul(o.add(fdup, fswap), nsel[0]))
         for n in range(17, 33):
@@ -1815,7 +2414,10 @@ class EvmStark(Stark):
         ch0u = L(CH_USED[0])
         non_fetch = o.add(
             o.add(o.add(o.add(kpack, kdig), o.add(logx, logd)), o.add(slx, ssx)),
-            o.add(cpr, cpw),
+            o.add(
+                o.add(o.add(cpr, cpw), o.add(cla, o.add(cli, clo))),
+                o.add(exi, o.add(exm, exq)),
+            ),
         )
         c.constraint(o.sub(ch0u, o.sub(act, non_fetch)))
         c.constraint(o.mul(ch0u, o.sub(L(CH_ISREAD[0]), one)))
@@ -1866,8 +2468,11 @@ class EvmStark(Stark):
                        CALLDATASIZE, PC_OP, CALLDATALOAD, MLOAD,
                        MSTORE, MSTORE8, MSIZE, SLOAD, SSTORE, JUMP, JUMPI,
                        ADDMOD, MULMOD, RETURN, REVERT,
-                       CALLDATACOPY, CODECOPY, RETURNDATASIZE)
-        ] + [sel[op] for op in ENV_OPS]
+                       CALLDATACOPY, CODECOPY, RETURNDATASIZE,
+                       CODESIZE, GAS_OP, BALANCE, EXTCODESIZE,
+                       EXTCODEHASH, BLOCKHASH, SELFBALANCE,
+                       RETURNDATACOPY, CALL, STATICCALL)
+        ] + [sel[op] for op in ENV_OPS] + [cla, exi, exm, exq, sel[EXP]]
         ch2_users = [
             F(self.F_SVINIT), F(self.F_SCAN), fdup, fswap, slx, ssx,
         ] + [
@@ -1877,19 +2482,31 @@ class EvmStark(Stark):
                        ISZERO, AND_, OR_, XOR_, NOT_, KECCAK256, CALLDATALOAD,
                        MLOAD, MSTORE, MSTORE8, SLOAD, SSTORE, JUMP, JUMPI,
                        ADDMOD, MULMOD, RETURN, REVERT,
-                       CALLDATACOPY, CODECOPY)
-        ]
+                       CALLDATACOPY, CODECOPY,
+                       BALANCE, EXTCODESIZE, EXTCODEHASH, BLOCKHASH,
+                       RETURNDATACOPY, CALL, STATICCALL, EXP)
+        ] + [cla, exi, exq]
         ch3_users = [fswap, F(self.F_SVINIT), ssx] + [
             sel[op]
             for op in (ADD, MUL, SUB, DIV, MOD, LT, GT, SLT, SGT, SHL, SHR, SAR, SIGNEXTEND,
                        BYTE_, EQ,
                        AND_, OR_, XOR_, SLOAD, SSTORE, ADDMOD, MULMOD,
-                       CALLDATACOPY, CODECOPY)
-        ]
+                       CALLDATACOPY, CODECOPY,
+                       RETURNDATACOPY, CALL, STATICCALL, EXP)
+        ] + [cla, exm, exq]
         ch4_users = [
             fswap, F(self.F_SVINIT), ssx,
             sel[SLOAD], sel[SSTORE], sel[ADDMOD], sel[MULMOD],
+            sel[CALL], sel[STATICCALL],
         ]
+        cla_value_read = None
+        for i in range(n_calls):
+            if call_op_i[i] == CALL:
+                t = o.mul(cla, csel[i])
+                cla_value_read = (
+                    t if cla_value_read is None else o.add(cla_value_read, t)
+                )
+        cla_value_read = cla_value_read if cla_value_read is not None else zero
 
         def acc(users, extra=None):
             tot = None
@@ -1902,7 +2519,10 @@ class EvmStark(Stark):
         jumpi_taken = o.mul(sel[JUMPI], o.sub(one, z))
         c.constraint(o.sub(L(CH_USED[1]), acc(ch1_users)))
         c.constraint(
-            o.sub(L(CH_USED[2]), acc(ch2_users, o.add(flog, logx_t4)))
+            o.sub(
+                L(CH_USED[2]),
+                acc(ch2_users, o.add(o.add(flog, logx_t4), o.mul(exm, L(XB)))),
+            )
         )
         c.constraint(
             o.sub(
@@ -1913,7 +2533,18 @@ class EvmStark(Stark):
                 ),
             )
         )
-        c.constraint(o.sub(L(CH_USED[4]), acc(ch4_users, o.mul(flog, nsel_ge2))))
+        c.constraint(
+            o.sub(
+                L(CH_USED[4]),
+                acc(
+                    ch4_users,
+                    o.add(
+                        o.add(o.mul(flog, nsel_ge2), cla_value_read),
+                        o.add(exm, o.mul(sel[EXP], o.sub(one, z))),
+                    ),
+                ),
+            )
+        )
 
         # -- generic channel binding helper
         def bind(gate, ch, is_read, seg_expr, virt_expr):
@@ -2208,7 +2839,10 @@ class EvmStark(Stark):
         c.constraint(
             o.sub(
                 L(AR_PLAIN),
-                acc([sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, SLT)]),
+                acc(
+                    [sel[op] for op in (ADD, MUL, SUB, DIV, MOD, LT, SLT)],
+                    o.add(L(S_EXM), L(S_EXQ)),
+                ),
             )
         )
         c.constraint(
@@ -2323,15 +2957,541 @@ class EvmStark(Stark):
         c.constraint(o.mul(m8, o.sub(revb[0], L(M8B0))))
         for i in range(1, 32):
             c.constraint(o.mul(m8, revb[i]))
-        # RETURNDATASIZE: constant 0 (no inner calls in the envelope)
+        # RETURNDATASIZE: push the RDS register (last call's output size)
         g = sel[RETURNDATASIZE]
         bind(g, 1, 0, const(SEG_STACK), sp)
-        bind_byte(g, 1, zero)
+        bind_byte(g, 1, L(RDS))
+
+        # CODESIZE: push the shape's code length (a circuit constant)
+        g = sel[CODESIZE]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        bind_byte(g, 1, const(s.code_len))
+
+        # GAS: push gasbudget - GAS' (gas remaining after this op's own
+        # charge) via a byte-checked 4-byte decomposition; the budget is
+        # the gasbudget PI word (verifier: tx gas limit - intrinsic)
+        g = sel[GAS_OP]
+        bind(g, 1, 0, const(SEG_STACK), sp)
+        gas_l0 = o.add(L(M8B0), o.mul(const(256), L(M8B1)))
+        gas_l1 = o.add(L(RB0), o.mul(const(256), L(RB1)))
+        c.constraint(o.mul(g, o.sub(L(CH_VAL[1][0]), gas_l0)))
+        c.constraint(o.mul(g, o.sub(L(CH_VAL[1][1]), gas_l1)))
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(g, L(CH_VAL[1][k])))
+        budget = None
+        for k in range(4):
+            t = o.mul(
+                const(1 << (16 * k)),
+                ctx.public_input(16 * lay["gasbudget"] + k),
+            )
+            budget = t if budget is None else o.add(budget, t)
+        c.constraint_transition(
+            o.mul(
+                g,
+                o.sub(
+                    o.add(
+                        o.add(gas_l0, o.mul(const(1 << 16), gas_l1)),
+                        N(GAS),
+                    ),
+                    budget,
+                ),
+            )
+        )
+
+        # -- environment queries: each query row binds its (opcode, arg,
+        # result) to the QSEL-selected PI 4-tuple; gas rides the qgas PI
+        qops_pop = acc(
+            [sel[op] for op in (BALANCE, EXTCODESIZE, EXTCODEHASH, BLOCKHASH)]
+        )
+        sselfb = sel[SELFBALANCE]
+        qgate = o.add(qops_pop, sselfb)
+        bind(qops_pop, 1, 1, const(SEG_STACK), spm(1))  # pop arg
+        bind(qops_pop, 2, 0, const(SEG_STACK), spm(1))  # push result
+        bind(sselfb, 1, 0, const(SEG_STACK), sp)  # push result
+        qsel = [L(QSEL[i]) for i in range(MAX_QUERIES)]
+        qsum = None
+        qlin = None
+        for i in range(MAX_QUERIES):
+            qsum = qsel[i] if qsum is None else o.add(qsum, qsel[i])
+            t = o.mul(const(i), qsel[i])
+            qlin = t if qlin is None else o.add(qlin, t)
+        c.constraint(o.sub(qsum, qgate))  # one-hot exactly on query rows
+        c.constraint(o.mul(qgate, o.sub(qlin, L(QIDX))))
+        c.constraint_first_row(L(QIDX))
+        c.constraint_transition(o.sub(N(QIDX), o.add(L(QIDX), qgate)))
+        for i in range(s.n_queries, MAX_QUERIES):
+            c.constraint(qsel[i])
+        for i in range(s.n_queries):
+            qb = lay["queries"] + 4 * i
+            # the fetched opcode byte must equal the tuple's qop word
+            c.constraint(
+                o.mul(
+                    qsel[i],
+                    o.sub(L(CH_VAL[0][0]), ctx.public_input(16 * qb)),
+                )
+            )
+            for k in range(N_LIMBS):
+                arg_pi = ctx.public_input(16 * (qb + 1) + k)
+                res_pi = ctx.public_input(16 * (qb + 2) + k)
+                c.constraint(
+                    o.mul(
+                        o.mul(qsel[i], qops_pop),
+                        o.sub(L(CH_VAL[1][k]), arg_pi),
+                    )
+                )
+                c.constraint(
+                    o.mul(
+                        o.mul(qsel[i], qops_pop),
+                        o.sub(L(CH_VAL[2][k]), res_pi),
+                    )
+                )
+                c.constraint(
+                    o.mul(
+                        o.mul(qsel[i], sselfb),
+                        o.sub(L(CH_VAL[1][k]), res_pi),
+                    )
+                )
+                # SELFBALANCE queries carry the frame's own address
+                c.constraint(
+                    o.mul(
+                        o.mul(qsel[i], sselfb),
+                        o.sub(
+                            arg_pi,
+                            ctx.public_input(16 * lay["address"] + k),
+                        ),
+                    )
+                )
+
+        # -- stack-depth limit: SP <= 1024 on every row (EVM consensus)
+        sp_hi = o.add(L(SPH0), o.mul(const(2), L(SPH1)))
+        sp_comp = o.add(
+            o.mul(L(SPMX), const(1024)),
+            o.mul(
+                o.sub(one, L(SPMX)),
+                o.add(L(SPB0), o.mul(const(256), sp_hi)),
+            ),
+        )
+        c.constraint(o.sub(sp, sp_comp))
+
+        # ================== precompile calls ==============================
+        # op row: ch1 = argsOfs @ sp-3-d, ch2 = argsLen @ sp-4-d (d = 1
+        # for CALL), ch3 = gas @ sp-1, ch4 = addr @ sp-2; CLA row: ch1 =
+        # retOfs, ch2 = retLen, ch3 = success write, ch4 = value (CALL).
+        d_call = sel[CALL]
+        c.constraint(o.mul(callop, o.sub(L(CH_ISREAD[1]), one)))
+        c.constraint(o.mul(callop, o.sub(L(CH_SEG[1]), const(SEG_STACK))))
+        c.constraint(
+            o.mul(
+                callop,
+                o.sub(L(CH_VIRT[1]), o.sub(o.sub(sp, const(3)), d_call)),
+            )
+        )
+        c.constraint(o.mul(callop, o.sub(L(CH_ISREAD[2]), one)))
+        c.constraint(o.mul(callop, o.sub(L(CH_SEG[2]), const(SEG_STACK))))
+        c.constraint(
+            o.mul(
+                callop,
+                o.sub(L(CH_VIRT[2]), o.sub(o.sub(sp, const(4)), d_call)),
+            )
+        )
+        bind(callop, 3, 1, const(SEG_STACK), spm(1))  # gas (value unused)
+        bind(callop, 4, 1, const(SEG_STACK), spm(2))  # addr
+        # argsOfs fits 32 bits and loads R0
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(callop, L(CH_VAL[1][k])))
+        c.constraint(o.mul(callop, o.sub(L(R0), ofs32)))
+        # argsLen / addr / opcode are shape constants per CSEL slot
+        alen_c = None
+        pid_c = None
+        opc_c = None
+        for i in range(n_calls):
+            t = o.mul(csel[i], const(call_alen[i]))
+            alen_c = t if alen_c is None else o.add(alen_c, t)
+            t = o.mul(csel[i], const(call_pid[i]))
+            pid_c = t if pid_c is None else o.add(pid_c, t)
+            t = o.mul(csel[i], const(call_op_i[i]))
+            opc_c = t if opc_c is None else o.add(opc_c, t)
+        alen_c = alen_c if alen_c is not None else zero
+        pid_c = pid_c if pid_c is not None else zero
+        opc_c = opc_c if opc_c is not None else zero
+        c.constraint(o.mul(callop, o.sub(L(CH_VAL[2][0]), alen_c)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(callop, L(CH_VAL[2][k])))
+        c.constraint(o.mul(callop, o.sub(L(CH_VAL[4][0]), pid_c)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(callop, L(CH_VAL[4][k])))
+        c.constraint(o.mul(callop, o.sub(L(CH_VAL[0][0]), opc_c)))
+        # CSEL: one-hot on call rows, linked to the CIDX counter
+        call_rows = o.add(callop, o.add(cla, o.add(cli, clo)))
+        csum = None
+        clin = None
+        for i in range(MAX_CALLS):
+            csum = csel[i] if csum is None else o.add(csum, csel[i])
+            t = o.mul(const(i), csel[i])
+            clin = t if clin is None else o.add(clin, t)
+        c.constraint(o.sub(csum, call_rows))
+        c.constraint(o.mul(callop, o.sub(clin, L(CIDX))))
+        c.constraint(
+            o.mul(
+                o.add(cla, o.add(cli, clo)),
+                o.sub(o.add(clin, one), L(CIDX)),
+            )
+        )
+        c.constraint_first_row(L(CIDX))
+        c.constraint_transition(o.sub(N(CIDX), o.add(L(CIDX), callop)))
+        for i in range(n_calls, MAX_CALLS):
+            c.constraint(csel[i])
+        # CSEL carries along the call's rows (op->CLA->CLI...->CLO...)
+        for i in range(n_calls):
+            c.constraint_transition(
+                o.mul(o.add(callop, o.add(cla, cli)), o.sub(N(CSEL[i]), csel[i]))
+            )
+            c.constraint_transition(
+                o.mul(o.mul(clo, N(S_CLO)), o.sub(N(CSEL[i]), csel[i]))
+            )
+        # CLA follows exactly the call op rows
+        c.constraint_first_row(cla)
+        c.constraint_transition(o.sub(N(S_CLA), callop))
+        c.constraint_transition(o.mul(callop, o.sub(N(R0), L(R0))))
+        # CLA bindings
+        bind(cla, 1, 1, const(SEG_STACK), spm(1))  # retOfs
+        bind(cla, 2, 1, const(SEG_STACK), spm(2))  # retLen
+        bind(cla, 3, 0, const(SEG_STACK), spm(2))  # success push
+        bind_byte(cla, 3, one)  # envelope: precompile calls succeed
+        for k in range(2, N_LIMBS):
+            c.constraint(o.mul(cla, L(CH_VAL[1][k])))
+        rlen_c = None
+        for i in range(n_calls):
+            t = o.mul(csel[i], const(call_rlen[i]))
+            rlen_c = t if rlen_c is None else o.add(rlen_c, t)
+        rlen_c = rlen_c if rlen_c is not None else zero
+        c.constraint(o.mul(cla, o.sub(L(CH_VAL[2][0]), rlen_c)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(cla, L(CH_VAL[2][k])))
+        c.constraint(o.mul(cla, o.sub(L(R1), ofs32)))  # retOfs register
+        # CALL frames read (and require zero) the value slot on ch4
+        c.constraint(o.mul(cla_value_read, o.sub(L(CH_ISREAD[4]), one)))
+        c.constraint(o.mul(cla_value_read, o.sub(L(CH_SEG[4]), const(SEG_STACK))))
+        c.constraint(
+            o.mul(cla_value_read, o.sub(L(CH_VIRT[4]), o.add(sp, const(2))))
+        )
+        for k in range(N_LIMBS):
+            c.constraint(o.mul(cla_value_read, L(CH_VAL[4][k])))
+        # phase choreography: CLA -> first CLI; CLI advances its word
+        # counter until the call's input words are staged, then CLO
+        cli_notlast = None
+        cli_last = None
+        for i in range(n_calls):
+            base = o.mul(csel[i], cli)
+            for w in range(call_inw[i] - 1):
+                t = o.mul(base, nsel[w])
+                cli_notlast = t if cli_notlast is None else o.add(cli_notlast, t)
+            t = o.mul(base, nsel[call_inw[i] - 1])
+            cli_last = t if cli_last is None else o.add(cli_last, t)
+        cli_notlast = cli_notlast if cli_notlast is not None else zero
+        cli_last = cli_last if cli_last is not None else zero
+        clo_notlast = None
+        clo_last = None
+        clo_last_nocb = None
+        cbgo_def = None
+        for i in range(n_calls):
+            base = o.mul(csel[i], clo)
+            for w in range(call_outw[i] - 1):
+                t = o.mul(base, nsel[w])
+                clo_notlast = t if clo_notlast is None else o.add(clo_notlast, t)
+            t = o.mul(base, nsel[call_outw[i] - 1])
+            clo_last = t if clo_last is None else o.add(clo_last, t)
+            if call_rlen[i] > 0:
+                cbgo_def = t if cbgo_def is None else o.add(cbgo_def, t)
+            else:
+                clo_last_nocb = (
+                    t if clo_last_nocb is None else o.add(clo_last_nocb, t)
+                )
+        clo_notlast = clo_notlast if clo_notlast is not None else zero
+        clo_last = clo_last if clo_last is not None else zero
+        clo_last_nocb = clo_last_nocb if clo_last_nocb is not None else zero
+        cbgo_def = cbgo_def if cbgo_def is not None else zero
+        c.constraint(o.sub(L(CBGO), cbgo_def))
+        c.constraint_transition(o.sub(N(S_CLI), o.add(cla, cli_notlast)))
+        c.constraint_transition(o.sub(N(S_CLO), o.add(cli_last, clo_notlast)))
+        c.constraint_transition(o.mul(cla, o.sub(N(NSEL[0]), one)))
+        c.constraint_transition(
+            o.mul(o.mul(cli, N(S_CLO)), o.sub(N(NSEL[0]), one))
+        )
+        for w in range(0, 7):
+            c.constraint_transition(
+                o.mul(o.mul(cli, N(S_CLI)), o.sub(N(NSEL[w + 1]), nsel[w]))
+            )
+            c.constraint_transition(
+                o.mul(o.mul(clo, N(S_CLO)), o.sub(N(NSEL[w + 1]), nsel[w]))
+            )
+        # word indices beyond the call's counts are forbidden
+        for i in range(n_calls):
+            for w in range(call_inw[i], 33):
+                c.constraint(o.mul(o.mul(cli, csel[i]), nsel[w]))
+            for w in range(call_outw[i], 33):
+                c.constraint(o.mul(o.mul(clo, csel[i]), nsel[w]))
+        # registers: R0 (argsOfs) rides op->CLA->CLI; R1 (retOfs) rides
+        # CLA->CLI->CLO; on CLO rows R0 = 0, R2 = the copy-back length,
+        # HS_SEG = SEG_RETDATA
+        c.constraint_transition(
+            o.mul(o.add(cla, o.mul(cli, N(S_CLI))), o.sub(N(R0), L(R0)))
+        )
+        c.constraint_transition(
+            o.mul(
+                o.add(cla, o.add(cli, o.mul(clo, N(S_CLO)))),
+                o.sub(N(R1), L(R1)),
+            )
+        )
+        c.constraint(o.mul(clo, L(R0)))
+        cb_c = None
+        for i in range(n_calls):
+            t = o.mul(csel[i], const(call_rlen[i]))
+            cb_c = t if cb_c is None else o.add(cb_c, t)
+        cb_c = cb_c if cb_c is not None else zero
+        c.constraint(o.mul(clo, o.sub(L(R2), cb_c)))
+        c.constraint(o.mul(clo, o.sub(L(HS_SEG), const(SEG_RETDATA))))
+        # RDS register: set on the op->CLA transition, constant elsewhere
+        outlen_c = None
+        for i in range(n_calls):
+            t = o.mul(csel[i], const(call_outlen[i]))
+            outlen_c = t if outlen_c is None else o.add(outlen_c, t)
+        outlen_c = outlen_c if outlen_c is not None else zero
+        c.constraint_first_row(L(RDS))
+        c.constraint_transition(o.mul(callop, o.sub(N(RDS), outlen_c)))
+        c.constraint_transition(
+            o.mul(o.sub(one, callop), o.sub(N(RDS), L(RDS)))
+        )
+        # input/output words bind to the call's public-input words
+        lay_cw = lay.get("call_words", [])
+        for k in range(N_LIMBS):
+            combo_in = None
+            combo_out = None
+            for i in range(n_calls):
+                for w in range(call_inw[i]):
+                    piv = ctx.public_input(16 * (lay_cw[i] + w) + k)
+                    t = o.mul(o.mul(csel[i], nsel[w]), piv)
+                    combo_in = t if combo_in is None else o.add(combo_in, t)
+                for w in range(call_outw[i]):
+                    piv = ctx.public_input(
+                        16 * (lay_cw[i] + call_inw[i] + w) + k
+                    )
+                    t = o.mul(o.mul(csel[i], nsel[w]), piv)
+                    combo_out = t if combo_out is None else o.add(combo_out, t)
+            if combo_in is not None:
+                c.constraint(o.mul(cli, o.sub(v_limb(k), combo_in)))
+            if combo_out is not None:
+                c.constraint(o.mul(clo, o.sub(v_limb(k), combo_out)))
+        if not s.call_shapes:
+            c.constraint(cla)
+            c.constraint(cli)
+            c.constraint(clo)
+
+        # ================== EXP micro-machine =============================
+        # LSB-first square-and-multiply. Scratch words per EXP at XP:
+        # exp word, S (running square), ACC. Row sequence:
+        # setup (pop base/exp; e == 0 pushes 1 directly) -> EXI (write
+        # S = base) -> [M (ACC *= b ? S : 1), Q (S *= S)]* -> final M row
+        # (TERM = 1, pushes ACC) exactly at the exponent's MSB.
+        sexp = sel[EXP]
+        xp = L(XP)
+        b_ = L(XB)
+        pow_, lacc, lacn, bitc = L(POW), L(LACC), L(LACN), L(BITC)
+        lb, lbi = L(LB), L(LBI)
+        exrow = o.add(exm, exq)
+        # -- setup row: pops; Z decides e == 0
+        bind(sexp, 1, 1, const(SEG_STACK), spm(1))  # base
+        bind(sexp, 2, 1, const(SEG_STACK), spm(2))  # exponent
+        zsum_e = None
+        for k in range(N_LIMBS):
+            t = L(CH_VAL[2][k])
+            zsum_e = t if zsum_e is None else o.add(zsum_e, t)
+        c.constraint(o.mul(sexp, o.sub(zs, zsum_e)))
+        # ch3: e == 0 -> push 1 at spm(2); else write the exp word at XP
+        c.constraint(o.mul(sexp, L(CH_ISREAD[3])))
+        c.constraint(
+            o.mul(
+                sexp,
+                o.sub(
+                    L(CH_SEG[3]),
+                    o.add(
+                        o.mul(z, const(SEG_STACK)),
+                        o.mul(o.sub(one, z), const(SEG_EXPS)),
+                    ),
+                ),
+            )
+        )
+        c.constraint(
+            o.mul(
+                sexp,
+                o.sub(
+                    L(CH_VIRT[3]),
+                    o.add(o.mul(z, spm(2)), o.mul(o.sub(one, z), xp)),
+                ),
+            )
+        )
+        c.constraint(
+            o.mul(o.mul(sexp, z), o.sub(L(CH_VAL[3][0]), one))
+        )
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(o.mul(sexp, z), L(CH_VAL[3][k])))
+        for k in range(N_LIMBS):
+            c.constraint(
+                o.mul(
+                    o.mul(sexp, o.sub(one, z)),
+                    o.sub(L(CH_VAL[3][k]), L(CH_VAL[2][k])),
+                )
+            )
+        # ch4 (e != 0): write ACC = 1 at XP + 2
+        g4 = o.mul(sexp, o.sub(one, z))
+        c.constraint(o.mul(g4, L(CH_ISREAD[4])))
+        c.constraint(o.mul(g4, o.sub(L(CH_SEG[4]), const(SEG_EXPS))))
+        c.constraint(o.mul(g4, o.sub(L(CH_VIRT[4]), o.add(xp, const(2)))))
+        c.constraint(o.mul(g4, o.sub(L(CH_VAL[4][0]), one)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(g4, L(CH_VAL[4][k])))
+        # XP allocation: 3 scratch words per completed EXP (the TERM
+        # transition), so the whole micro-sequence sees its own base
+        c.constraint_first_row(xp)
+        c.constraint_transition(
+            o.sub(N(XP), o.add(xp, o.mul(const(3), term)))
+        )
+        # -- choreography
+        c.constraint_first_row(exi)
+        c.constraint_first_row(exm)
+        c.constraint_first_row(exq)
+        c.constraint_transition(o.sub(N(S_EXI), g4))
+        c.constraint_transition(o.sub(N(S_EXM), o.add(exi, exq)))
+        c.constraint_transition(o.sub(N(S_EXQ), o.sub(exm, term)))
+        # -- EXI row: re-read base from its (dead) stack slot, write S_0
+        bind(exi, 1, 1, const(SEG_STACK), o.add(sp, one))
+        bind(exi, 2, 0, const(SEG_EXPS), o.add(xp, one))
+        bind_word_eq(exi, 2, 1)
+        # -- M row: ACC' = ACC * (b ? S : 1)
+        bind(exm, 1, 1, const(SEG_EXPS), o.add(xp, const(2)))  # ACC
+        mb = o.mul(exm, b_)
+        c.constraint(o.mul(mb, o.sub(L(CH_ISREAD[2]), one)))
+        c.constraint(o.mul(mb, o.sub(L(CH_SEG[2]), const(SEG_EXPS))))
+        c.constraint(o.mul(mb, o.sub(L(CH_VIRT[2]), o.add(xp, one))))
+        mnb = o.mul(exm, o.sub(one, b_))
+        c.constraint(o.mul(mnb, o.sub(L(CH_VAL[2][0]), one)))
+        for k in range(1, N_LIMBS):
+            c.constraint(o.mul(mnb, L(CH_VAL[2][k])))
+        # ch3: ACC' to scratch, or to the stack on the TERM row
+        c.constraint(o.mul(exm, L(CH_ISREAD[3])))
+        c.constraint(
+            o.mul(
+                exm,
+                o.sub(
+                    L(CH_SEG[3]),
+                    o.add(
+                        const(SEG_EXPS),
+                        o.mul(term, const(SEG_STACK - SEG_EXPS)),
+                    ),
+                ),
+            )
+        )
+        xp2 = o.add(xp, const(2))
+        c.constraint(
+            o.mul(
+                exm,
+                o.sub(L(CH_VIRT[3]), o.add(xp2, o.mul(term, o.sub(sp, xp2)))),
+            )
+        )
+        bind(exm, 4, 1, const(SEG_EXPS), xp)  # the exponent word
+        # -- Q row: S' = S * S
+        bind(exq, 1, 1, const(SEG_EXPS), o.add(xp, one))
+        bind(exq, 2, 1, const(SEG_EXPS), o.add(xp, one))
+        bind(exq, 3, 0, const(SEG_EXPS), o.add(xp, one))
+        # -- bit machinery
+        c.constraint(o.mul(term, o.sub(one, exm)))
+        c.constraint(o.mul(term, o.sub(b_, one)))  # MSB is a set bit
+        c.constraint(o.mul(lb, o.sub(one, exrow)))
+        c.constraint(o.mul(lb, o.sub(pow_, const(1 << 15))))
+        c.constraint(
+            o.sub(
+                o.mul(o.sub(pow_, const(1 << 15)), lbi),
+                o.sub(exrow, lb),
+            )
+        )
+        c.constraint(o.mul(exrow, o.sub(lacn, o.add(lacc, o.mul(b_, pow_)))))
+        # limb selected from the exponent word read on the M row (ch4)
+        limbsel = None
+        for j in range(16):
+            t = o.mul(nsel[j], L(CH_VAL[4][j]))
+            limbsel = t if limbsel is None else o.add(limbsel, t)
+        # at a limb boundary, the accumulated bits equal the limb
+        c.constraint(o.mul(o.mul(lb, exm), o.sub(limbsel, lacn)))
+        # at termination: same mid-limb check + all higher limbs zero
+        c.constraint(o.mul(term, o.sub(limbsel, lacn)))
+        for j in range(16):
+            hi_sum = None
+            for k in range(j + 1, 16):
+                t = L(CH_VAL[4][k])
+                hi_sum = t if hi_sum is None else o.add(hi_sum, t)
+            if hi_sum is not None:
+                c.constraint(o.mul(o.mul(term, nsel[j]), hi_sum))
+        # init on EXI -> first M
+        c.constraint_transition(o.mul(exi, o.sub(N(POW), one)))
+        c.constraint_transition(o.mul(exi, N(LACC)))
+        c.constraint_transition(o.mul(exi, N(BITC)))
+        c.constraint_transition(o.mul(exi, o.sub(N(NSEL[0]), one)))
+        # M -> Q carries (non-TERM rows only)
+        mq = o.sub(exm, term)
+        for col in (XB, POW, LACC, LACN, BITC, LB):
+            c.constraint_transition(o.mul(mq, o.sub(N(col), L(col))))
+        for j in range(16):
+            c.constraint_transition(o.mul(mq, o.sub(N(NSEL[j]), nsel[j])))
+        # Q -> next M advance (boundary LB resets the limb accumulator)
+        c.constraint_transition(
+            o.mul(exq, o.sub(N(BITC), o.add(bitc, one)))
+        )
+        c.constraint_transition(
+            o.mul(
+                exq,
+                o.sub(
+                    N(POW),
+                    o.add(o.mul(const(2), o.mul(pow_, o.sub(one, lb))), lb),
+                ),
+            )
+        )
+        c.constraint_transition(
+            o.mul(exq, o.sub(N(LACC), o.mul(lacn, o.sub(one, lb))))
+        )
+        for j in range(16):
+            prev = nsel[j - 1] if j >= 1 else zero
+            c.constraint_transition(
+                o.mul(
+                    exq,
+                    o.sub(
+                        N(NSEL[j]),
+                        o.add(
+                            o.mul(nsel[j], o.sub(one, lb)), o.mul(prev, lb)
+                        ),
+                    ),
+                )
+            )
+        # byte-length witness on the TERM row: 8*KWORDS = BITC + 1 + pad,
+        # pad < 8 (3 bits) — the 50/byte gas charge uses KWORDS
+        pad3 = None
+        for bbit in range(3):
+            t = o.mul(const(1 << bbit), L(PB[bbit]))
+            pad3 = t if pad3 is None else o.add(pad3, t)
+        c.constraint(
+            o.mul(
+                term,
+                o.sub(
+                    o.mul(const(8), L(KWORDS)),
+                    o.add(o.add(bitc, one), pad3),
+                ),
+            )
+        )
 
         # -- CALLDATACOPY / CODECOPY: pop (dest, src, len); the copy runs
         # as CPR/CPW row pairs (pack-read into REVB, pack-write to MAIN)
         scdc, sccc = sel[CALLDATACOPY], sel[CODECOPY]
-        copyop = o.add(scdc, sccc)
+        srdc = sel[RETURNDATACOPY]
+        copyop = o.add(o.add(scdc, sccc), srdc)
         bind(copyop, 1, 1, const(SEG_STACK), spm(1))  # dest
         bind(copyop, 2, 1, const(SEG_STACK), spm(2))  # src
         bind(copyop, 3, 1, const(SEG_STACK), spm(3))  # len
@@ -2354,8 +3514,22 @@ class EvmStark(Stark):
             o.sub(
                 o.mul(copyop, L(HS_SEG)),
                 o.add(
-                    o.mul(scdc, const(SEG_CALLDATA)),
-                    o.mul(sccc, const(SEG_CODE)),
+                    o.add(
+                        o.mul(scdc, const(SEG_CALLDATA)),
+                        o.mul(sccc, const(SEG_CODE)),
+                    ),
+                    o.mul(srdc, const(SEG_RETDATA)),
+                ),
+            )
+        )
+        # EIP-211 bound: src + len <= RDS, via the byte-checked M8B pair
+        rdc_slack = o.add(L(M8B0), o.mul(const(256), L(M8B1)))
+        c.constraint(
+            o.mul(
+                srdc,
+                o.sub(
+                    L(RDS),
+                    o.add(o.add(src32, L(CH_VAL[3][0])), rdc_slack),
                 ),
             )
         )
@@ -2378,9 +3552,16 @@ class EvmStark(Stark):
         c.constraint_transition(
             o.sub(
                 N(S_CPR),
-                o.add(o.mul(copyop, o.sub(one, z)), o.mul(cpw, L(FULLC))),
+                o.add(
+                    o.add(o.mul(copyop, o.sub(one, z)), o.mul(cpw, L(FULLC))),
+                    L(CBGO),
+                ),
             )
         )
+        # call copy-back register hand-off (R0 = 0, R1 = retOfs,
+        # R2 = copy length, HS_SEG = SEG_RETDATA, set on the last CLO row)
+        for col in (R0, R1, R2, HS_SEG):
+            c.constraint_transition(o.mul(L(CBGO), o.sub(N(col), L(col))))
         c.constraint_transition(o.sub(N(S_CPW), cpr))
         # CPR -> CPW: registers, chunk witness, and REVB carry verbatim
         for col in (R0, R1, R2, CSW, FULLC, HS_SEG):
@@ -2424,13 +3605,19 @@ class EvmStark(Stark):
             o.sub(
                 L(IS_PACK),
                 o.add(
-                    o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
-                    o.add(o.add(o.add(log_data, logd), m8), o.add(cpr, cpw)),
+                    o.add(
+                        o.add(o.add(push_packs, window_pop), o.add(kpack, pre_packs)),
+                        o.add(o.add(o.add(log_data, logd), m8), o.add(cpr, cpw)),
+                    ),
+                    o.add(cli, clo),
                 ),
             )
         )
         c.constraint(
-            o.sub(L(PACK_WRITE), o.add(o.add(o.add(sms, m8), cpw), pre_packs))
+            o.sub(
+                L(PACK_WRITE),
+                o.add(o.add(o.add(o.add(sms, m8), cpw), pre_packs), clo),
+            )
         )
         seg_expr = o.add(
             o.add(
@@ -2453,6 +3640,10 @@ class EvmStark(Stark):
         )
         # copy-read rows source from the carried segment register
         seg_expr = o.add(seg_expr, o.mul(cpr, L(HS_SEG)))
+        seg_expr = o.add(
+            seg_expr,
+            o.add(o.mul(cli, const(SEG_MAIN)), o.mul(clo, const(SEG_RETDATA))),
+        )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_SEG)), seg_expr))
         # LOGD rows pack data word NSEL at base offset R0 (carried from
         # the LOG row's popped offset)
@@ -2470,6 +3661,13 @@ class EvmStark(Stark):
                     o.mul(log_data, ofs32),
                     o.add(o.mul(logd, L(R0)), o.mul(const(32), o.mul(logd, nlin))),
                 ),
+            ),
+        )
+        virt_expr = o.add(
+            virt_expr,
+            o.add(
+                o.add(o.mul(cli, L(R0)), o.mul(const(32), o.mul(cli, nlin))),
+                o.mul(const(32), o.mul(clo, nlin)),
             ),
         )
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_VIRT)), virt_expr))
@@ -2503,6 +3701,26 @@ class EvmStark(Stark):
                 logd_len if logd_len is not None else zero,
             ),
         )
+        call_pack_len = None
+        for i in range(n_calls):
+            for w in range(call_inw[i]):
+                t = o.mul(
+                    o.mul(cli, o.mul(csel[i], nsel[w])),
+                    const(min(32, call_alen[i] - 32 * w)),
+                )
+                call_pack_len = (
+                    t if call_pack_len is None else o.add(call_pack_len, t)
+                )
+            for w in range(call_outw[i]):
+                t = o.mul(
+                    o.mul(clo, o.mul(csel[i], nsel[w])),
+                    const(min(32, call_outlen[i] - 32 * w)),
+                )
+                call_pack_len = (
+                    t if call_pack_len is None else o.add(call_pack_len, t)
+                )
+        if call_pack_len is not None:
+            len_expr = o.add(len_expr, call_pack_len)
         c.constraint(o.sub(o.mul(L(IS_PACK), L(PACK_LEN)), len_expr))
 
         # -- SLOAD / SSTORE (two-row ops; the continuation row handles
@@ -2844,6 +4062,8 @@ class EvmStark(Stark):
         # the final LOGD data word — same expression as LOGIDX); copies
         # advance on the final CPW row (or the op row for len == 0)
         pc_adv = o.add(pc_adv, completion)
+        pc_adv = o.add(pc_adv, clo_last_nocb)
+        pc_adv = o.add(pc_adv, o.add(L(TERM), o.mul(sel[EXP], z)))
         pc_adv = o.add(pc_adv, o.add(kdig, o.add(slx, ssx)))
         pc_adv = o.add(
             pc_adv,
@@ -2863,6 +4083,8 @@ class EvmStark(Stark):
                 sp_d = t if sp_d is None else o.add(sp_d, t)
         sp_d = o.add(sp_d, o.add(fpush, fdup))
         sp_d = o.add(sp_d, kdig)
+        sp_d = o.sub(sp_d, cla)
+        sp_d = o.add(sp_d, o.add(L(TERM), o.mul(sel[EXP], z)))
         # LOG0-2 drop on the LOG row; LOG3/4 drop on the LOGX row
         log_drop = o.mul(o.mul(flog, nsel_le2), o.add(const(2), nlin))
         logx_drop = None
@@ -2886,10 +4108,16 @@ class EvmStark(Stark):
         c.constraint_first_row(cq)
 
         # -- memory touch rows: TCH = ops that touch SEG_MAIN, length > 0
+        cla_touch = None
+        for i in range(n_calls):
+            if call_rlen[i] > 0:
+                t = o.mul(cla, csel[i])
+                cla_touch = t if cla_touch is None else o.add(cla_touch, t)
+        cla_touch = cla_touch if cla_touch is not None else zero
         tch_def = acc(
             [sml, sms, m8],
             o.add(
-                log_data,
+                o.add(log_data, o.add(callop, cla_touch)),
                 o.mul(o.add(o.add(retrev, skec), copyop), o.sub(one, z)),
             ),
         )
@@ -2925,7 +4153,7 @@ class EvmStark(Stark):
             ),
             o.add(
                 log_full if log_full is not None else zero,
-                o.mul(retrev, len16),
+                o.mul(o.add(retrev, o.add(callop, cla)), len16),
             ),
         )
         c.constraint(
@@ -2995,6 +4223,25 @@ class EvmStark(Stark):
         dadd(o.mul(const(100), o.mul(sss, L(E_VC))))
         dadd(o.mul(L(P1), o.add(const(2900), o.mul(const(17100), L(EO0)))))
         dadd(o.mul(const(100), L(P2)))
+        # EXP: 50 per exponent byte on the TERM row (10 static on setup)
+        dadd(o.mul(L(TERM), o.mul(const(50), L(KWORDS))))
+        # precompile calls: 100 warm access + the precompile's cost
+        # (shape-static; memory expansion rides the generic grow terms)
+        for i in range(n_calls):
+            wcount_i = (call_alen[i] + 31) // 32
+            pc_cost = {1: 3000, 2: 60 + 12 * wcount_i,
+                       3: 600 + 120 * wcount_i, 4: 15 + 3 * wcount_i}[
+                call_pid[i]
+            ]
+            dadd(o.mul(o.mul(callop, csel[i]), const(100 + pc_cost)))
+        # environment queries: per-query gas rides the qgas PI word
+        for i in range(s.n_queries):
+            dadd(
+                o.mul(
+                    L(QSEL[i]),
+                    ctx.public_input(16 * (lay["queries"] + 4 * i + 3)),
+                )
+            )
         # memory expansion: C(NW) - C(MW) on growth
         dadd(o.mul(grow, o.sub(N(CQ), cq)))
         c.constraint_transition(o.sub(N(GAS), o.add(L(GAS), delta)))

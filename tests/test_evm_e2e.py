@@ -147,3 +147,51 @@ class TestEvmE2E:
         bad = list(res.pi_words)
         bad[shape.pi_layout["storage"] + 3] = 41
         assert not A.verify_evm_tables(machine, bad, proof, CFG)
+
+
+class TestCallCtlMultisets:
+    def test_precompile_call_ctls(self):
+        import hashlib
+
+        code = E.asm(
+            ("push", 0xDEAD), ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 64), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50000), E.STATICCALL, E.POP,
+            E.RETURNDATASIZE, E.POP,
+            ("push", 32), ("push", 0), ("push", 96), E.RETURNDATACOPY,
+            ("push", 96), E.MLOAD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, machine, res = build(code, log_rows=10)
+        assert res.return_data == hashlib.sha256(
+            (0xDEAD).to_bytes(32, "big")
+        ).digest()
+        sizes = A.TableSizes(
+            cpu=10, arithmetic=8, logic=9, bytepacking=10, memory=13,
+            keccak=6, keccak_sponge=8,
+        )
+        traces = make_traces(shape, res, sizes)
+        starks = A.all_starks(machine, with_keccak=True)
+        problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
+        assert problems == [], problems
+
+
+class TestExpCtlMultisets:
+    def test_exp_ctls(self):
+        code = E.asm(
+            ("push", (0xABCD << 64) | 0x1234, 32), ("push", 3), E.EXP,
+            ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, machine, res = build(code, log_rows=11)
+        assert int.from_bytes(res.return_data, "big") == pow(
+            3, (0xABCD << 64) | 0x1234, 1 << 256
+        )
+        sizes = A.TableSizes(
+            cpu=11, arithmetic=16, logic=9, bytepacking=9, memory=13,
+            keccak=6, keccak_sponge=8,
+        )
+        traces = make_traces(shape, res, sizes)
+        starks = A.all_starks(machine, with_keccak=True)
+        problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
+        assert problems == [], problems

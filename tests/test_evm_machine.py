@@ -91,10 +91,10 @@ def pi_limbs(words):
 
 
 def run(code, calldata=b"", caller=0xC0FFEE, callvalue=0, storage=None,
-        log_rows=9):
+        log_rows=9, env=None):
     storage = storage or {}
     shape, _inputs, res = E.discover_and_execute(
-        code, calldata, caller, callvalue, storage, log_rows
+        code, calldata, caller, callvalue, storage, log_rows, env=env
     )
     return shape, res
 
@@ -742,3 +742,363 @@ class TestSarSignextend:
         assert results[2] == (1 << 256) - 1
         assert results[3] == (1 << 256) - 0x80
         assert results[4] == 0x1234
+
+
+class TestQueryOpsAndGas:
+    """Round-3 opcodes: CODESIZE/GAS and the environment-query directory
+    (BALANCE/EXTCODESIZE/EXTCODEHASH/BLOCKHASH/SELFBALANCE), plus the
+    in-circuit stack-depth limit."""
+
+    def _sat(self, code, calldata=b"", storage=None, **kw):
+        shape, res = run(code, calldata=calldata, storage=storage, **kw)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return shape, res, stark
+
+    def test_codesize(self):
+        code = E.asm(E.CODESIZE, ("push", 0), E.MSTORE,
+                     ("push", 32), ("push", 0), E.RETURN)
+        _, res, _ = self._sat(code)
+        assert int.from_bytes(res.return_data, "big") == len(code)
+
+    def test_gas_opcode(self):
+        code = E.asm(E.GAS_OP, ("push", 0), E.MSTORE,
+                     ("push", 32), ("push", 0), E.RETURN)
+        budget = 100_000
+        _, res, _ = self._sat(code, env={"gas_budget": budget})
+        # GAS pushes budget - (2 for GAS itself)
+        assert int.from_bytes(res.return_data, "big") == budget - 2
+
+    def test_gas_without_budget_unsupported(self):
+        code = E.asm(E.GAS_OP, E.POP, E.STOP)
+        with pytest.raises(E.Unsupported):
+            run(code)
+
+    def test_tampered_gas_push_rejected(self):
+        code = E.asm(E.GAS_OP, E.POP, E.STOP)
+        shape, res = run(code, env={"gas_budget": 50_000})
+        stark = E.EvmStark(shape)
+        pis = pi_limbs(res.pi_words)
+        pis[16 * shape.pi_layout["gasbudget"]] += 1  # claim more budget
+        assert check_constraints(stark, res.trace, pis)
+
+    def _resolver(self):
+        balances = {0xAAAA: 1234, 0xB0B: 5 << 100}
+        codehashes = {0xAAAA: 0x1111}
+        def resolve(op, arg):
+            if op in (E.BALANCE, E.SELFBALANCE):
+                return balances.get(arg, 0)
+            if op == E.EXTCODESIZE:
+                return 42 if arg in codehashes else 0
+            if op == E.EXTCODEHASH:
+                return codehashes.get(arg, 0)
+            if op == E.BLOCKHASH:
+                return 0xFEED0000 + arg if 900 <= arg < 1000 else 0
+            raise AssertionError(op)
+        return resolve
+
+    def test_query_directory(self):
+        code = E.asm(
+            ("push", 0xAAAA), E.BALANCE,
+            ("push", 0xB0B), E.BALANCE, E.ADD, E.POP,
+            ("push", 0xAAAA), E.EXTCODESIZE, E.POP,
+            ("push", 0xAAAA), E.EXTCODEHASH, E.POP,
+            ("push", 950), E.BLOCKHASH, E.POP,
+            E.SELFBALANCE, E.POP,
+            E.STOP,
+        )
+        env = {
+            "query_resolver": self._resolver(),
+            "address": 0xB0B,
+            "warm_addrs": (0xB0B,),
+        }
+        shape, res, _ = self._sat(code, env=env)
+        assert shape.n_queries == 6
+        lay = shape.pi_layout
+        q = lay["queries"]
+        # first query: cold BALANCE of 0xAAAA
+        assert res.pi_words[q:q + 4] == [E.BALANCE, 0xAAAA, 1234, 2600]
+        # second: cold BALANCE of 0xB0B? no — pre-warmed via warm_addrs
+        assert res.pi_words[q + 4:q + 8] == [E.BALANCE, 0xB0B, 5 << 100, 100]
+        # third: EXTCODESIZE of now-warm 0xAAAA
+        assert res.pi_words[q + 8:q + 12] == [E.EXTCODESIZE, 0xAAAA, 42, 100]
+        # BLOCKHASH always 20
+        assert res.pi_words[q + 16:q + 20] == [
+            E.BLOCKHASH, 950, 0xFEED0000 + 950, 20]
+        # SELFBALANCE: arg is the frame's own address, gas 5
+        assert res.pi_words[q + 20:q + 24] == [
+            E.SELFBALANCE, 0xB0B, 5 << 100, 5]
+
+    def test_tampered_query_result_rejected(self):
+        code = E.asm(("push", 0xAAAA), E.BALANCE, E.POP, E.STOP)
+        env = {"query_resolver": self._resolver()}
+        shape, res = run(code, env=env)
+        stark = E.EvmStark(shape)
+        pis = pi_limbs(res.pi_words)
+        pis[16 * (shape.pi_layout["queries"] + 2)] += 1  # forge balance
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_tampered_query_gas_rejected(self):
+        code = E.asm(("push", 0xAAAA), E.BALANCE, E.POP, E.STOP)
+        env = {"query_resolver": self._resolver()}
+        shape, res = run(code, env=env)
+        stark = E.EvmStark(shape)
+        pis = pi_limbs(res.pi_words)
+        # claim the access was warm (cheaper): GAS PI now diverges
+        pis[16 * (shape.pi_layout["queries"] + 3)] = 100
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_stack_overflow_unsupported(self):
+        code = E.asm(E.JUMPDEST, ("push", 1),
+                     ("push", 0), E.JUMP)  # push forever
+        with pytest.raises(E.Unsupported):
+            run(code, log_rows=13)
+
+    def test_forged_stack_depth_rejected(self):
+        # a trace claiming SP = 1025 cannot satisfy the decomposition
+        code = E.asm(("push", 1), E.POP, E.STOP)
+        shape, res = run(code)
+        stark = E.EvmStark(shape)
+        tr = res.trace.copy()
+        r = stark.exec_start + 1
+        tr[E.SP, r] = 1025
+        tr[E.SPMX, r] = 0
+        tr[E.SPB0, r] = 1
+        tr[E.SPH0, r] = 0
+        tr[E.SPH1, r] = 2  # would need a non-boolean bit
+        assert check_constraints(stark, tr, pi_limbs(res.pi_words))
+
+
+class TestPrecompileCalls:
+    """CALL/STATICCALL to precompiles, the returndata segment, and
+    RETURNDATASIZE/RETURNDATACOPY — all constraint-checked."""
+
+    def _sat(self, code, calldata=b"", storage=None, **kw):
+        shape, res = run(code, calldata=calldata, storage=storage, **kw)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return shape, res, stark
+
+    def test_staticcall_sha256(self):
+        import hashlib
+
+        code = E.asm(
+            ("push", 0xDEAD), ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 64),    # retLen, retOfs
+            ("push", 32), ("push", 0),     # argsLen, argsOfs
+            ("push", 2), ("push", 50000), E.STATICCALL,
+            E.POP,
+            ("push", 64), E.MLOAD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res, _ = self._sat(code, log_rows=10)
+        exp = hashlib.sha256((0xDEAD).to_bytes(32, "big")).digest()
+        assert res.return_data == exp
+        assert shape.call_shapes == ((E.STATICCALL, 2, 32, 32),)
+
+    def test_call_identity_with_returndatacopy(self):
+        code = E.asm(
+            ("push", 0x1234), ("push", 0), E.MSTORE,
+            ("push", 0), ("push", 0),      # retLen=0, retOfs=0
+            ("push", 32), ("push", 0),     # argsLen, argsOfs
+            ("push", 0), ("push", 4),      # value=0, addr=4 (identity)
+            ("push", 50000), E.CALL, E.POP,
+            E.RETURNDATASIZE, E.POP,
+            ("push", 32), ("push", 0), ("push", 64),
+            E.RETURNDATACOPY,              # copy output to mem[64:96]
+            ("push", 64), E.MLOAD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res, _ = self._sat(code, log_rows=10)
+        assert int.from_bytes(res.return_data, "big") == 0x1234
+        assert shape.call_shapes == ((E.CALL, 4, 32, 0),)
+
+    def test_ecrecover(self):
+        from ethproof_tpu.evm import secp256k1 as ec
+        from ethproof_tpu.hash.keccak import keccak256
+
+        h = keccak256(b"hello precompile")
+        priv = 0xACE5
+        k = 0x1CE
+        R = ec._mul(k, (ec.GX, ec.GY))
+        r_ = R[0] % ec.N
+        s_ = (ec._inv(k, ec.N) * (int.from_bytes(h, "big") + r_ * priv)) % ec.N
+        recid = R[1] % 2
+        if s_ > ec.N // 2:  # low-s normalization flips the parity
+            s_ = ec.N - s_
+            recid ^= 1
+        v = 27 + recid
+        # sanity: recovery gives the signer's address
+        pub = ec._mul(priv, (ec.GX, ec.GY))
+        exp_addr = keccak256(
+            pub[0].to_bytes(32, "big") + pub[1].to_bytes(32, "big")
+        )[12:]
+        assert ec.recover_address(h, r_, s_, v - 27) == exp_addr
+        items = [
+            ("push", int.from_bytes(h, "big"), 32), ("push", 0), E.MSTORE,
+            ("push", v), ("push", 32), E.MSTORE,
+            ("push", r_), ("push", 64), E.MSTORE,
+            ("push", s_), ("push", 96), E.MSTORE,
+            ("push", 32), ("push", 128),   # retLen, retOfs
+            ("push", 128), ("push", 0),    # argsLen, argsOfs
+            ("push", 1), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 128), E.MLOAD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        ]
+        code = E.asm(*items)
+        shape, res, _ = self._sat(code, log_rows=11)
+        assert shape.call_shapes == ((E.STATICCALL, 1, 128, 32),)
+        assert res.return_data == b"\0" * 12 + exp_addr
+
+    def test_two_calls_second_returndata_wins(self):
+        import hashlib
+
+        code = E.asm(
+            ("push", 1), ("push", 0), E.MSTORE,
+            ("push", 0), ("push", 0), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50000), E.STATICCALL, E.POP,  # sha256
+            ("push", 0), ("push", 0), ("push", 32), ("push", 0),
+            ("push", 0), ("push", 4),
+            ("push", 50000), E.CALL, E.POP,                     # identity
+            ("push", 32), ("push", 0), ("push", 64), E.RETURNDATACOPY,
+            ("push", 64), E.MLOAD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        shape, res, _ = self._sat(code, log_rows=10)
+        # identity of mem[0:32] (which still holds 1) wins
+        assert int.from_bytes(res.return_data, "big") == 1
+        assert len(shape.call_shapes) == 2
+
+    def test_call_to_contract_unsupported(self):
+        code = E.asm(
+            ("push", 0), ("push", 0), ("push", 0), ("push", 0),
+            ("push", 0), ("push", 0xDEADBEEF),
+            ("push", 50000), E.CALL, E.POP, E.STOP,
+        )
+        with pytest.raises(E.Unsupported):
+            run(code, log_rows=10)
+
+    def test_returndatacopy_oob_unsupported(self):
+        code = E.asm(
+            ("push", 1), ("push", 0), E.MSTORE,
+            ("push", 0), ("push", 0), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 64), ("push", 0), ("push", 0), E.RETURNDATACOPY,
+            E.STOP,
+        )
+        with pytest.raises(E.Unsupported):
+            run(code, log_rows=10)
+
+    def test_tampered_output_word_rejected(self):
+        code = E.asm(
+            ("push", 7), ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 64), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50000), E.STATICCALL, E.POP, E.STOP,
+        )
+        shape, res = run(code, log_rows=10)
+        stark = E.EvmStark(shape)
+        pis = pi_limbs(res.pi_words)
+        lay = shape.pi_layout
+        out_word = lay["call_words"][0] + 1  # in_words = 1
+        pis[16 * out_word] = (pis[16 * out_word] + 1) % E.ar.fh.P
+        assert check_constraints(stark, res.trace, pis)
+
+    def test_gas_charged(self):
+        code = E.asm(
+            ("push", 7), ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 64), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50000), E.STATICCALL, E.POP, E.STOP,
+        )
+        shape, res, _ = self._sat(code, log_rows=10)
+        lay = shape.pi_layout
+        # sha256(32 bytes): 60 + 12; warm access 100; plus pushes/
+        # mstore/pop/memory expansion — just check the PI gas is the
+        # meter's and nontrivial
+        assert res.pi_words[lay["gas"]] == res.gas_used
+        assert res.gas_used > 172
+
+
+class TestExp:
+    """EXP via the in-circuit square-and-multiply micro-machine."""
+
+    def _sat(self, code, **kw):
+        shape, res = run(code, **kw)
+        stark = E.EvmStark(shape)
+        bad = check_constraints(stark, res.trace, pi_limbs(res.pi_words))
+        assert bad == [], bad[:8]
+        return shape, res, stark
+
+    def _exp_prog(self, base, exp):
+        return E.asm(
+            ("push", exp, 32) if exp else ("push", 0),
+            ("push", base, 32) if base else ("push", 0),
+            E.EXP,
+            ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+
+    def test_small(self):
+        _, res, _ = self._sat(self._exp_prog(7, 13), log_rows=10)
+        assert int.from_bytes(res.return_data, "big") == 7 ** 13
+
+    def test_zero_exponent(self):
+        _, res, _ = self._sat(self._exp_prog(7, 0), log_rows=10)
+        assert int.from_bytes(res.return_data, "big") == 1
+
+    def test_zero_base(self):
+        _, res, _ = self._sat(self._exp_prog(0, 5), log_rows=10)
+        assert int.from_bytes(res.return_data, "big") == 0
+
+    def test_multi_limb_exponent(self):
+        e = (0xABCD << 64) | 0x1234
+        _, res, _ = self._sat(self._exp_prog(3, e), log_rows=11)
+        assert int.from_bytes(res.return_data, "big") == pow(3, e, 1 << 256)
+
+    def test_full_256bit_exponent(self):
+        e = (1 << 255) + (0xFEED << 128) + 5
+        _, res, _ = self._sat(self._exp_prog(3, e), log_rows=12)
+        assert int.from_bytes(res.return_data, "big") == pow(3, e, 1 << 256)
+
+    def test_two_exps(self):
+        code = E.asm(
+            ("push", 5), ("push", 2), E.EXP,      # 32
+            ("push", 3), ("push", 10), E.EXP,     # 1000
+            E.ADD, ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 0), E.RETURN,
+        )
+        _, res, _ = self._sat(code, log_rows=10)
+        assert int.from_bytes(res.return_data, "big") == 1032
+
+    def test_gas(self):
+        from ethproof_tpu.evm.gas import GasMeter
+        # EXP 7^13: 10 + 50*1 (one exponent byte)
+        shape, res = run(self._exp_prog(7, 13), log_rows=10)
+        base_shape, base_res = run(self._exp_prog(7, 0), log_rows=10)
+        # difference vs zero-exponent run isolates the 50/byte charge
+        assert res.gas_used - base_res.gas_used == 50
+        e = (0xABCD << 64) | 0x1234
+        shape2, res2 = run(self._exp_prog(3, e), log_rows=11)
+        assert res2.gas_used - base_res.gas_used == 50 * 10  # 10 bytes
+
+    def test_tampered_result_rejected(self):
+        shape, res = run(self._exp_prog(7, 13), log_rows=10)
+        stark = E.EvmStark(shape)
+        tr = res.trace.copy()
+        # find the TERM row and flip its bit witness
+        rows = np.nonzero(tr[E.TERM])[0]
+        assert len(rows) == 1
+        tr[E.XB, rows[0]] = 0
+        assert check_constraints(stark, tr, pi_limbs(res.pi_words))
+
+    def test_early_termination_rejected(self):
+        # claim termination one bit early: the mid-limb check must fail
+        shape, res = run(self._exp_prog(7, 13), log_rows=10)
+        stark = E.EvmStark(shape)
+        tr = res.trace.copy()
+        rows = np.nonzero(tr[E.S_EXM])[0]
+        assert len(rows) >= 2
+        prev_m = rows[-2]
+        tr[E.TERM, prev_m] = 1
+        assert check_constraints(stark, tr, pi_limbs(res.pi_words))
