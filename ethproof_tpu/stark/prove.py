@@ -507,6 +507,131 @@ def stark_prove(
     )
 
 
+# One traced+compiled sweep per (stark, shape signature): the machine
+# table emits thousands of constraints whose eager per-op dispatch
+# dominated proving (measured ~110 s/proof on CPU at 2^9); under jit the
+# sweep compiles once (persistent cache) and runs in milliseconds. All
+# transcript values (alphas, CTL beta/gamma/totals, lookup alphas,
+# public inputs) enter as TRACED scalars so the compilation is
+# per-shape, never per-proof.
+_SWEEP_CACHE: dict = {}
+
+
+# Wide tables (the EVM machine, the kasm/verifier machines) emit enough
+# constraints that eager dispatch dominates; narrow tables compile in
+# comparable time to one eager run, so they stay eager. Overridable:
+# ETHPROOF_JIT_SWEEP=always|never.
+_JIT_SWEEP_MIN_COLUMNS = 128
+
+
+def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
+               n_instances, n_lookup_alphas, has_fixed, has_aux):
+    import os
+
+    mode = os.environ.get("ETHPROOF_JIT_SWEEP", "")
+    use_jit = stark.num_columns >= _JIT_SWEEP_MIN_COLUMNS
+    if mode == "always":
+        use_jit = True
+    elif mode == "never":
+        use_jit = False
+    key = (
+        id(stark), specs_key, log_n, rate_bits, shift, num_challenges,
+        n_instances, n_lookup_alphas, has_fixed, has_aux, use_jit,
+    )
+    fn = _SWEEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+
+    n = 1 << log_n
+    m = n << rate_bits
+    rate = 1 << rate_bits
+
+    specs = stark._sweep_specs  # set by _sweep_jit's caller
+
+    def core(trace_lde, fixed_lde, aux_lde, alphas_arr, pis_arr,
+             lookup_arr, auxch_arr, betas_arr, gammas_arr, totals_arr):
+        def scal(arr, i):
+            return GF(arr.lo[i], arr.hi[i])
+
+        xs = _domain_points(log_n + rate_bits, shift)
+        zh = _zh_values(log_n, rate_bits, shift)
+        g_last = fh.inv(fh.primitive_root_of_unity(log_n))
+        n_inv = fh.inv(n)
+        z_last = gfp.sub(xs, _scalar_gf(g_last))
+        l_first = gfp.mul(
+            gfp.mul(zh, gfp.inv(gfp.sub(xs, _scalar_gf(1)))),
+            _scalar_gf(n_inv),
+        )
+        l_last = gfp.mul(
+            gfp.mul(zh, gfp.inv(z_last)), _scalar_gf(g_last * n_inv % P)
+        )
+        ops = DeviceOps((m,))
+        local = _rows(trace_lde)
+        nxt = _rows(_roll_cols(trace_lde, rate))
+        fixed_local: List[GF] = []
+        fixed_next: List[GF] = []
+        if fixed_lde is not None:
+            fixed_local = _rows(fixed_lde)
+            fixed_next = _rows(_roll_cols(fixed_lde, rate))
+        pis = [scal(pis_arr, i) for i in range(pis_arr.lo.shape[0])]
+        alphas = [scal(alphas_arr, i) for i in range(num_challenges)]
+        consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
+        ctx = EvalContext(
+            ops, local, nxt, pis, consumer, fixed_local, fixed_next
+        )
+        stark.eval(ctx)
+        if aux_lde is not None:
+            aux_local = _rows(aux_lde)
+            aux_next = _rows(_roll_cols(aux_lde, rate))
+            if n_instances:
+                bound = [
+                    CtlInstance(
+                        spec=specs[k],
+                        beta=scal(betas_arr, k),
+                        gamma=scal(gammas_arr, k),
+                    )
+                    for k in range(n_instances)
+                ]
+                totals = [scal(totals_arr, k) for k in range(n_instances)]
+                eval_ctl_constraints(
+                    ops, consumer, local + fixed_local, nxt + fixed_next,
+                    aux_local[:n_instances], aux_next[:n_instances],
+                    bound, totals,
+                )
+            off = n_instances
+            for spec in stark.lookups:
+                for ai in range(n_lookup_alphas):
+                    w = lookup_aux_count(spec)
+                    eval_lookup_constraints(
+                        ops, consumer, local + fixed_local, nxt + fixed_next,
+                        aux_local[off : off + w], aux_next[off : off + w],
+                        spec, scal(lookup_arr, ai),
+                    )
+                    off += w
+            k_custom = stark.num_custom_aux(num_challenges)
+            if k_custom:
+                chs = [
+                    scal(auxch_arr, i)
+                    for i in range(auxch_arr.lo.shape[0])
+                ]
+                stark.eval_custom(
+                    ctx, aux_local[off : off + k_custom],
+                    aux_next[off : off + k_custom], chs,
+                )
+        accs = consumer.accs
+        import jax.numpy as jnp
+
+        return (
+            jnp.stack([a.lo for a in accs]),
+            jnp.stack([a.hi for a in accs]),
+        )
+
+    jitted = jax.jit(core) if use_jit else core
+    _SWEEP_CACHE[key] = jitted
+    return jitted
+
+
 def _compute_quotient(
     stark: Stark,
     trace_lde: GF,
@@ -528,61 +653,44 @@ def _compute_quotient(
     m = n << rate_bits
     rate = 1 << rate_bits
 
-    xs = _domain_points(log_n + rate_bits, shift)
-    zh = _zh_values(log_n, rate_bits, shift)
-    g_h = fh.primitive_root_of_unity(log_n)
-    g_last = fh.inv(g_h)  # g^(n-1)
-    n_inv = fh.inv(n)
-    z_last = gfp.sub(xs, _scalar_gf(g_last))
-    l_first = gfp.mul(
-        gfp.mul(zh, gfp.inv(gfp.sub(xs, _scalar_gf(1)))), _scalar_gf(n_inv)
-    )
-    l_last = gfp.mul(gfp.mul(zh, gfp.inv(z_last)), _scalar_gf(g_last * n_inv % P))
+    def words(vals):
+        import numpy as np
 
-    ops = DeviceOps((m,))
-    local = _rows(trace_lde)
-    nxt = _rows(_roll_cols(trace_lde, rate))
-    fixed_local: List[GF] = []
-    fixed_next: List[GF] = []
+        return gfp.from_u64(
+            np.asarray([int(v) % P for v in vals], dtype=np.uint64)
+        )
+
+    # the CTL specs are structural per (stark, wiring); fingerprint by
+    # repr so a different wiring of the same stark re-traces
+    specs = tuple(inst.spec for inst in instances)
+    stark._sweep_specs = specs
+    specs_key = hash(repr(specs))
+    sweep = _sweep_jit(
+        stark, specs_key, log_n, rate_bits, shift, num_challenges,
+        len(instances), len(lookup_alphas),
+        stark.num_fixed_columns > 0, aux_lde is not None,
+    )
     if stark.num_fixed_columns:
         assert fixed_lde is not None, "fixed tables must pass the committed LDE"
-        fixed_local = _rows(fixed_lde)
-        fixed_next = _rows(_roll_cols(fixed_lde, rate))
-    pis = [ops.constant(int(x)) for x in public_inputs]
-    consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
-    ctx = EvalContext(ops, local, nxt, pis, consumer, fixed_local, fixed_next)
-    stark.eval(ctx)
-    if aux_lde is not None:
-        aux_local = _rows(aux_lde)
-        aux_next = _rows(_roll_cols(aux_lde, rate))
-        if instances:
-            # CTL columns may reference fixed columns at offset num_columns
-            eval_ctl_constraints(
-                ops, consumer, local + fixed_local, nxt + fixed_next,
-                aux_local[: len(instances)], aux_next[: len(instances)],
-                instances, ctl_totals,
-            )
-        off = len(instances)
-        for spec in stark.lookups:
-            for alpha in lookup_alphas:
-                w = lookup_aux_count(spec)
-                eval_lookup_constraints(
-                    ops, consumer, local + fixed_local, nxt + fixed_next,
-                    aux_local[off : off + w], aux_next[off : off + w],
-                    spec, alpha,
-                )
-                off += w
-        k_custom = stark.num_custom_aux(num_challenges)
-        if k_custom:
-            stark.eval_custom(
-                ctx, aux_local[off : off + k_custom],
-                aux_next[off : off + k_custom], aux_challenges or [],
-            )
+    acc_lo, acc_hi = sweep(
+        trace_lde,
+        fixed_lde if stark.num_fixed_columns else None,
+        aux_lde,
+        words(alphas),
+        words(public_inputs),
+        words(lookup_alphas or [0]),
+        words(aux_challenges or [0]),
+        words([inst.beta for inst in instances] or [0]),
+        words([inst.gamma for inst in instances] or [0]),
+        words(ctl_totals or [0]),
+    )
+    consumer_accs = [GF(acc_lo[i], acc_hi[i]) for i in range(num_challenges)]
 
+    zh = _zh_values(log_n, rate_bits, shift)
     zh_inv = gfp.inv(zh)
     chunks = stark.quotient_chunks(bool(instances))
     q_rows_lo, q_rows_hi = [], []
-    for acc in consumer.accs:
+    for acc in consumer_accs:
         q_evals = gfp.mul(acc, zh_inv)
         q_coeffs = mxnt.best_coset_intt(q_evals, shift)
         for c in range(chunks):

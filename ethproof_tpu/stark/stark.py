@@ -89,6 +89,37 @@ class DeviceOps(FieldOps):
     def constant(self, c: int):
         return self._gfp.full(self._shape, c)
 
+    def challenge(self, c):
+        # ints (eager prover path) become broadcast constants; GF values
+        # (traced scalars under the jitted sweep) pass through and
+        # broadcast against the domain-shaped operands.
+        from ..gf.field import GF
+
+        if isinstance(c, GF):
+            return c
+        return self.constant(c)
+
+    def alpha_pow(self, alpha, k: int):
+        from ..gf.field import GF
+
+        if isinstance(alpha, GF):  # traced: square-and-multiply (static k)
+            gfp = self._gfp
+            acc = None
+            base = alpha
+            kk = k
+            while kk:
+                if kk & 1:
+                    acc = base if acc is None else gfp.mul(acc, base)
+                kk >>= 1
+                if kk:
+                    base = gfp.mul(base, base)
+            if acc is None:
+                import jax.numpy as jnp
+
+                return GF(jnp.uint32(1), jnp.uint32(0))
+            return acc
+        return self.constant(pow(alpha, k, HostExtOps.P))
+
     # -- vector API ----------------------------------------------------------
 
     def stack(self, vals):
@@ -122,19 +153,40 @@ class DeviceOps(FieldOps):
 
         return GF(a.lo[0], a.hi[0])
 
-    def fold_vec(self, vec, alpha: int):
-        """sum_j alpha^(k-1-j) * vec_j — the Horner-equivalent batch fold."""
+    def fold_vec(self, vec, alpha):
+        """sum_j alpha^(k-1-j) * vec_j — the Horner-equivalent batch fold.
+
+        alpha: int (eager path; powers host-precomputed) or a traced GF
+        scalar (jitted sweep; powers built on device, k is static)."""
         gfp = self._gfp
         k = self.vec_len(vec)
-        w = [pow(alpha, k - 1 - j, HostExtOps.P) for j in range(k)]
-        wgf = gfp.gf(w)
         from ..gf.field import GF
 
         ndim_rest = vec.lo.ndim - 1
-        wb = GF(
-            wgf.lo.reshape((k,) + (1,) * ndim_rest),
-            wgf.hi.reshape((k,) + (1,) * ndim_rest),
-        )
+        if isinstance(alpha, GF):
+            pows = [None] * k  # pows[j] = alpha^(k-1-j)
+            import jax.numpy as jnp
+
+            cur = GF(jnp.uint32(1), jnp.uint32(0))
+            for j in range(k - 1, -1, -1):
+                pows[j] = cur
+                if j:
+                    cur = gfp.mul(cur, alpha)
+            wb = GF(
+                jnp.stack(
+                    [jnp.broadcast_to(p.lo, ()) for p in pows]
+                ).reshape((k,) + (1,) * ndim_rest),
+                jnp.stack(
+                    [jnp.broadcast_to(p.hi, ()) for p in pows]
+                ).reshape((k,) + (1,) * ndim_rest),
+            )
+        else:
+            w = [pow(alpha, k - 1 - j, HostExtOps.P) for j in range(k)]
+            wgf = gfp.gf(w)
+            wb = GF(
+                wgf.lo.reshape((k,) + (1,) * ndim_rest),
+                wgf.hi.reshape((k,) + (1,) * ndim_rest),
+            )
         return self._sum_axis0(gfp.mul(vec, wb))
 
     def pack_weighted(self, vec, weights, group: int):

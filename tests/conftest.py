@@ -15,6 +15,9 @@ import os
 # the config API is the only reliable override. The test suite must be
 # hermetic, fast to compile, and able to emulate 8 devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests prove each shape once: the jitted constraint sweep would pay its
+# one-off trace+compile without ever amortizing it (block pipelines do).
+os.environ.setdefault("ETHPROOF_JIT_SWEEP", "never")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
