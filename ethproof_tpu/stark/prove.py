@@ -517,23 +517,21 @@ def stark_prove(
 _SWEEP_CACHE: dict = {}
 
 
-# Wide tables (the EVM machine, the kasm/verifier machines) emit enough
-# constraints that eager dispatch dominates; narrow tables compile in
-# comparable time to one eager run, so they stay eager. Overridable:
-# ETHPROOF_JIT_SWEEP=always|never.
-_JIT_SWEEP_MIN_COLUMNS = 128
+# The jitted sweep amortizes beautifully across a block's transactions
+# (identical shapes), BUT the widest table's graph (the 390-column EVM
+# machine, thousands of u32-pair constraints) currently exceeds what
+# the compile services tolerate: the tunneled TPU's compile helper is
+# OOM-killed (SIGKILL) on it, and XLA:CPU takes tens of minutes. Until
+# the constraint IR is vectorized (PARITY.md round-4 item), the sweep
+# defaults to the eager path and jit is an explicit opt-in
+# (ETHPROOF_JIT_SWEEP=always) for pipelines over narrow tables.
 
 
 def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
                n_instances, n_lookup_alphas, has_fixed, has_aux):
     import os
 
-    mode = os.environ.get("ETHPROOF_JIT_SWEEP", "")
-    use_jit = stark.num_columns >= _JIT_SWEEP_MIN_COLUMNS
-    if mode == "always":
-        use_jit = True
-    elif mode == "never":
-        use_jit = False
+    use_jit = os.environ.get("ETHPROOF_JIT_SWEEP", "") == "always"
     key = (
         id(stark), specs_key, log_n, rate_bits, shift, num_challenges,
         n_instances, n_lookup_alphas, has_fixed, has_aux, use_jit,
@@ -574,7 +572,18 @@ def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
         if fixed_lde is not None:
             fixed_local = _rows(fixed_lde)
             fixed_next = _rows(_roll_cols(fixed_lde, rate))
-        pis = [scal(pis_arr, i) for i in range(pis_arr.lo.shape[0])]
+        # public inputs broadcast to the domain shape: table evals may
+        # STACK them against column vectors (e.g. constraint_vec over
+        # PI-bound words), which scalar shapes would break
+        import jax.numpy as jnp
+
+        pis = [
+            GF(
+                jnp.broadcast_to(pis_arr.lo[i], (m,)),
+                jnp.broadcast_to(pis_arr.hi[i], (m,)),
+            )
+            for i in range(pis_arr.lo.shape[0])
+        ]
         alphas = [scal(alphas_arr, i) for i in range(num_challenges)]
         consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
         ctx = EvalContext(
