@@ -117,6 +117,10 @@ def _dft_kernel(lo_ref, hi_ref, w_ref, olo_ref, ohi_ref):
     ohi_ref[:] = res.hi
 
 
+# test hook: run the kernel under the Pallas interpreter (CPU backends)
+_INTERPRET = os.environ.get("ETHPROOF_PALLAS_INTERPRET", "") not in ("", "0")
+
+
 def _pallas_call(lo2, hi2, w, block_rows):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -137,6 +141,7 @@ def _pallas_call(lo2, hi2, w, block_rows):
         in_specs=[spec_data, spec_data, spec_w],
         out_specs=(spec_data, spec_data),
         grid=(rows // block_rows,),
+        interpret=_INTERPRET,
     )(lo2, hi2, w)
 
 
@@ -144,7 +149,7 @@ def supported(total_elems: int, log_n: int) -> bool:
     """Can the fused kernel run this level? (TPU backend, shape fits.)"""
     if _DISABLED or log_n > 8:
         return False
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
     lanes = max(1 << log_n, 128)
     rows = total_elems // lanes
