@@ -49,6 +49,10 @@ from .tx import decode_tx
 
 EMPTY_CODE_HASH = keccak256(b"")
 
+# highest precompile address in the target fork (Shanghai: 0x09 blake2f;
+# Cancun would raise this to 0x0a) — drives the EIP-2929 pre-warm set
+N_PRECOMPILES_SHANGHAI = 9
+
 
 def _slot_key(slot: int) -> Nibbles:
     return Nibbles.from_bytes(keccak256(slot.to_bytes(32, "big")))
@@ -183,9 +187,12 @@ def tx_env_words(gi: GenerationInputs, tx, caller: int) -> Dict[str, int]:
         "gas_budget": tx.gas_limit - intrinsic_gas(tx),
     }
     # EIP-2929 pre-warm: origin, target, coinbase (EIP-3651), the
-    # precompile range, and access-list addresses
+    # precompile range, and access-list addresses. The range is the
+    # SHANGHAI set (0x01..0x09); a Cancun+ target fork must extend it
+    # (0x0a point evaluation) or account-access queries against the new
+    # precompiles charge cold 2600 instead of warm 100.
     warm = {caller, env["address"], env["coinbase"]}
-    warm.update(range(1, 10))
+    warm.update(range(1, N_PRECOMPILES_SHANGHAI + 1))
     warm.update(int.from_bytes(a, "big") for a, _k in tx.access_list)
     env["warm_addrs"] = tuple(sorted(warm))
     env["query_resolver"] = _witness_query_resolver(gi, tx, caller)

@@ -40,6 +40,41 @@ def make_mesh(n_devices: Optional[int] = None, tx: int = 1) -> Mesh:
     return Mesh(arr, axis_names=("tx", "col"))
 
 
+_DEFAULT_MESH = "unset"
+
+
+def default_mesh() -> Optional[Mesh]:
+    """The PRODUCTION mesh: built once per process when more than one
+    local device is attached, so `cli prove` / fleet workers on a
+    multi-chip host shard every trace commit over ICI without any flag
+    (VERDICT r3 #7 — the reference's rayon intra-op axis is implicit
+    too). ETHPROOF_MESH=off disables; =N caps the 'col' width. One chip
+    (or CPU without forced host devices) -> None, the unsharded path."""
+    global _DEFAULT_MESH
+    if _DEFAULT_MESH != "unset":
+        return _DEFAULT_MESH
+    import os
+
+    mode = os.environ.get("ETHPROOF_MESH", "auto")
+    if mode == "off":
+        _DEFAULT_MESH = None
+        return None
+    try:
+        n = len(jax.devices())
+    except Exception:
+        n = 1
+    if mode not in ("auto", ""):
+        n = min(n, int(mode))
+    _DEFAULT_MESH = make_mesh(n) if n > 1 else None
+    return _DEFAULT_MESH
+
+
+def reset_default_mesh() -> None:
+    """Testing hook."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = "unset"
+
+
 def mesh_width(mesh: Mesh) -> int:
     return mesh.shape["col"]
 

@@ -6,11 +6,17 @@ once per shape, then proved per witness (pin
 /root/reference/common/src/prover_state/circuit.rs:200-206). The TPU
 re-design is a UNIFORM-ROW machine instead of a gate-typed Plonk circuit:
 
-- one gate per row, constrained Plonk-style:
-    qm*V0*V1 + ql*V0 + qr*V1 + qc + qo*V2 = 0
+- FOUR independent gate LANES per row, lane i constrained Plonk-style
+  over value slots (V[3i], V[3i+1], V[3i+2]):
+    qm_i*Va*Vb + ql_i*Va + qr_i*Vb + qc_i + qo_i*Vo = 0
   (add/sub/mul/mulc/const/bool/assert0 are coefficient choices);
 - Poseidon permutations as 30-row blocks (one round per row, same
-  arithmetization as tables/poseidon_table.py);
+  arithmetization as tables/poseidon_table.py). The 28 MIDDLE rows of a
+  block leave all 12 value slots free, so generic lanes PACK INTO them:
+  the logUp bus routes by (tag, value) multisets — a wire's producing
+  and consuming slots may sit on any rows in any order — so lane
+  placement is pure scheduling, invisible to soundness. Machine rows ~=
+  max(poseidon rows, ceil(gates/4)) instead of their SUM of gates.
 - dataflow routed by a logUp BUS: every row has 12 value slots; fixed
   columns give each slot a wire TAG and a SIGNED MULTIPLICITY (+k for the
   producing slot of a wire consumed k times, -1 per consuming slot, 0 for
@@ -20,9 +26,9 @@ re-design is a UNIFORM-ROW machine instead of a gate-typed Plonk circuit:
   consumer slot carries exactly the producer's value. Tags and
   multiplicities are PREPROCESSED (fixed columns): the prover has zero
   freedom over routing.
-- public inputs bound by one-hot QPI selectors (the circuit exposes a
-  4-element Poseidon digest of its logical public values, so QPI stays
-  4 columns regardless of how many values are exposed).
+- public inputs bound by one-hot QPI selectors on lane 0 (the circuit
+  exposes a 4-element Poseidon digest of its logical public values, so
+  QPI stays 4 columns regardless of how many values are exposed).
 
 The program (fixed columns) is part of the circuit definition; the
 verifier evaluates fixed columns analytically (stark/verify.py), so a
@@ -57,6 +63,7 @@ P = fh.P
 WIDTH = C.WIDTH  # 12
 N_ROUNDS = C.N_ROUNDS  # 30
 NUM_SLOTS = WIDTH
+NUM_LANES = 4  # generic gate lanes per row (3 slots each)
 NUM_PI = 4  # machine-level public inputs: a Poseidon digest
 _MDS = C.mds_matrix()
 
@@ -66,15 +73,16 @@ S = list(range(NUM_SLOTS, NUM_SLOTS + WIDTH))
 X3 = list(range(NUM_SLOTS + WIDTH, NUM_SLOTS + 2 * WIDTH))
 NUM_COLUMNS = NUM_SLOTS + 2 * WIDTH  # 36
 
-# fixed columns
-F_QM, F_QL, F_QR, F_QC, F_QO = range(5)
-F_QPOSE, F_QPOSE_FIRST, F_QPOSE_LAST = 5, 6, 7
-F_RC = list(range(8, 8 + WIDTH))
-F_T = list(range(20, 20 + NUM_SLOTS))
-F_M = list(range(32, 32 + NUM_SLOTS))
-F_DEAD = list(range(44, 44 + NUM_SLOTS))
-F_QPI = list(range(56, 56 + NUM_PI))
-NUM_FIXED = 56 + NUM_PI  # 60
+# fixed columns: 5 plonk coefficients per lane, then the rest
+_NQ = 5 * NUM_LANES
+F_Q = [list(range(5 * i, 5 * i + 5)) for i in range(NUM_LANES)]  # per lane
+F_QPOSE, F_QPOSE_FIRST, F_QPOSE_LAST = _NQ, _NQ + 1, _NQ + 2
+F_RC = list(range(_NQ + 3, _NQ + 3 + WIDTH))
+F_T = list(range(_NQ + 15, _NQ + 15 + NUM_SLOTS))
+F_M = list(range(_NQ + 27, _NQ + 27 + NUM_SLOTS))
+F_DEAD = list(range(_NQ + 39, _NQ + 39 + NUM_SLOTS))
+F_QPI = list(range(_NQ + 51, _NQ + 51 + NUM_PI))
+NUM_FIXED = _NQ + 51 + NUM_PI  # 75
 
 _MINUS_ONE = P - 1
 
@@ -96,7 +104,10 @@ class _Row:
     __slots__ = ("coeffs", "rc", "pose", "pose_first", "pose_last", "slots", "qpi")
 
     def __init__(self):
-        self.coeffs = (0, 0, 0, 0, 0)
+        # one (qm, ql, qr, qc, qo) tuple per lane
+        self.coeffs: List[Tuple[int, int, int, int, int]] = [
+            (0, 0, 0, 0, 0)
+        ] * NUM_LANES
         self.rc: Optional[np.ndarray] = None
         self.pose = self.pose_first = self.pose_last = False
         # slot j -> (tag, signed_mult, wire) ; absent = dead
@@ -104,11 +115,82 @@ class _Row:
         self.qpi: Optional[int] = None
 
 
+def _gate_lane(g, counts) -> Tuple[Tuple[int, int, int, int, int], List]:
+    """(coeffs, [(slot_offset, tag, mult, wire), ...]) for one generic
+    gate placed in a lane (offsets 0..2 relative to the lane base)."""
+    if g.op == G_CONST:
+        coeffs = (0, 0, 0, g.c, _MINUS_ONE)
+    elif g.op == G_MULC:
+        coeffs = (0, g.c, 0, 0, _MINUS_ONE)
+    elif g.op == G_PI:
+        coeffs = (0, 0, 0, 0, 0)
+    else:
+        coeffs = _GATE_COEFFS[g.op]
+    slots: List[Tuple[int, int, int, int]] = []
+    if g.op in (G_ADD, G_SUB, G_MUL):
+        slots = [
+            (0, g.a, -1, g.a),
+            (1, g.b, -1, g.b),
+            (2, g.out, counts.get(g.out, 0), g.out),
+        ]
+    elif g.op == G_BOOL:
+        # qm*Va*Vb - Va with both slots reading the same wire
+        slots = [(0, g.a, -1, g.a), (1, g.a, -1, g.a)]
+    elif g.op in (G_MULC, G_ASSERT0, G_PI):
+        slots = [(0, g.a, -1, g.a)]
+        if g.op == G_MULC:
+            slots.append((2, g.out, counts.get(g.out, 0), g.out))
+    elif g.op in (G_CONST, G_WIT):
+        slots = [(2, g.out, counts.get(g.out, 0), g.out)]
+    else:
+        raise ValueError(f"unknown gate {g.op}")
+    return coeffs, slots
+
+
 def _layout(circuit: Circuit) -> List[_Row]:
+    """Pack gates into rows: poseidon blocks are 30 consecutive rows whose
+    28 middle rows donate their 4 lanes to generic gates; leftover generic
+    gates get dedicated rows, 4 lanes each. PI gates are pinned to lane 0
+    (the QPI selector binds V0). Placement is pure scheduling — the bus
+    multiset argument is order-free — so any gate may land on any row."""
     counts = circuit.consumption_counts()
     rows: List[_Row] = []
+    # open (row, lane) slots; consumed from `head`. Lane assignment is
+    # order-free (the bus is a multiset argument), so a PI gate needing
+    # lane 0 just swaps a lane-0 slot to the head and takes it.
+    free: List[Tuple[int, int]] = []
+    head = 0
+
+    def place(g, lane0_only: bool) -> None:
+        nonlocal head
+        if head == len(free):
+            base = len(rows)
+            rows.append(_Row())
+            free.extend((base, ln) for ln in range(NUM_LANES))
+        if lane0_only and free[head][1] != 0:
+            j = head
+            while j < len(free) and free[j][1] != 0:
+                j += 1
+            if j == len(free):  # no lane-0 slot open: new generic row
+                base = len(rows)
+                rows.append(_Row())
+                free.extend((base, ln) for ln in range(NUM_LANES))
+            free[head], free[j] = free[j], free[head]
+        r_i, lane = free[head]
+        head += 1
+        row = rows[r_i]
+        coeffs, slots = _gate_lane(g, counts)
+        cc = list(row.coeffs)
+        cc[lane] = coeffs
+        row.coeffs = cc
+        for off, tag, mult, wire in slots:
+            row.slots[3 * lane + off] = (tag, mult, wire)
+        if g.op == G_PI:
+            row.qpi = g.c
+
     for g in circuit.gates:
         if g.op == G_POSEIDON:
+            base = len(rows)
             for rnd in range(N_ROUNDS):
                 r = _Row()
                 r.pose = True
@@ -120,36 +202,14 @@ def _layout(circuit: Circuit) -> List[_Row]:
                 elif rnd == N_ROUNDS - 1:
                     for j, w in enumerate(g.outs):
                         r.slots[j] = (w, counts.get(w, 0), w)
+                else:
+                    # middle rows: all 4 lanes open for generic packing
+                    free.extend(
+                        (base + rnd, ln) for ln in range(NUM_LANES)
+                    )
                 rows.append(r)
             continue
-        r = _Row()
-        if g.op == G_CONST:
-            r.coeffs = (0, 0, 0, g.c, _MINUS_ONE)
-        elif g.op == G_MULC:
-            r.coeffs = (0, g.c, 0, 0, _MINUS_ONE)
-        elif g.op == G_PI:
-            r.coeffs = (0, 0, 0, 0, 0)
-            r.qpi = g.c
-        else:
-            r.coeffs = _GATE_COEFFS[g.op]
-        # bus slots
-        if g.op in (G_ADD, G_SUB, G_MUL):
-            r.slots[0] = (g.a, -1, g.a)
-            r.slots[1] = (g.b, -1, g.b)
-            r.slots[2] = (g.out, counts.get(g.out, 0), g.out)
-        elif g.op == G_BOOL:
-            # qm*V0*V1 - V0 with both slots reading the same wire
-            r.slots[0] = (g.a, -1, g.a)
-            r.slots[1] = (g.a, -1, g.a)
-        elif g.op in (G_MULC, G_ASSERT0, G_PI):
-            r.slots[0] = (g.a, -1, g.a)
-            if g.op == G_MULC:
-                r.slots[2] = (g.out, counts.get(g.out, 0), g.out)
-        elif g.op in (G_CONST, G_WIT):
-            r.slots[2] = (g.out, counts.get(g.out, 0), g.out)
-        else:
-            raise ValueError(f"unknown gate {g.op}")
-        rows.append(r)
+        place(g, lane0_only=g.op == G_PI)
     return rows
 
 
@@ -167,6 +227,11 @@ class RecursionStark(Stark):
         self.circuit = circuit
         self._rows = _layout(circuit)
         self._fixed_cache: Dict[int, np.ndarray] = {}
+
+    @property
+    def num_rows(self) -> int:
+        """Machine rows after lane packing (NOT circuit.num_rows)."""
+        return len(self._rows)
 
     # -- custom aux: the wire bus -------------------------------------------
 
@@ -241,9 +306,11 @@ class RecursionStark(Stark):
         rc = C.ALL_ROUND_CONSTANTS.reshape(N_ROUNDS, WIDTH)
         rnd = 0
         for r, row in enumerate(rows):
-            qm, ql, qr, qc, qo = row.coeffs
-            fx[F_QM, r], fx[F_QL, r], fx[F_QR, r] = qm, ql, qr
-            fx[F_QC, r], fx[F_QO, r] = qc, qo
+            for ln in range(NUM_LANES):
+                qm, ql, qr, qc, qo = row.coeffs[ln]
+                q = F_Q[ln]
+                fx[q[0], r], fx[q[1], r], fx[q[2], r] = qm, ql, qr
+                fx[q[3], r], fx[q[4], r] = qc, qo
             if row.pose:
                 fx[F_QPOSE, r] = 1
                 if row.pose_first:
@@ -267,22 +334,24 @@ class RecursionStark(Stark):
 
     def eval(self, ctx):
         c, o = ctx.consumer, ctx.ops
-        v0, v1, v2 = ctx.local(V[0]), ctx.local(V[1]), ctx.local(V[2])
-        qm = ctx.fixed(F_QM)
-        ql = ctx.fixed(F_QL)
-        qr = ctx.fixed(F_QR)
-        qc = ctx.fixed(F_QC)
-        qo = ctx.fixed(F_QO)
-        gate = o.add(
-            o.add(o.mul(qm, o.mul(v0, v1)), o.mul(ql, v0)),
-            o.add(o.add(o.mul(qr, v1), qc), o.mul(qo, v2)),
-        )
-        c.constraint(gate)
+        # one plonk gate constraint per lane
+        for ln in range(NUM_LANES):
+            va = ctx.local(V[3 * ln])
+            vb = ctx.local(V[3 * ln + 1])
+            vo = ctx.local(V[3 * ln + 2])
+            q = F_Q[ln]
+            qm, ql, qr = ctx.fixed(q[0]), ctx.fixed(q[1]), ctx.fixed(q[2])
+            qc, qo = ctx.fixed(q[3]), ctx.fixed(q[4])
+            gate = o.add(
+                o.add(o.mul(qm, o.mul(va, vb)), o.mul(ql, va)),
+                o.add(o.add(o.mul(qr, vb), qc), o.mul(qo, vo)),
+            )
+            c.constraint(gate)
 
-        # public-input binding
+        # public-input binding (PI gates are laid out in lane 0)
         for k in range(NUM_PI):
             c.constraint(
-                o.mul(ctx.fixed(F_QPI[k]), o.sub(v0, ctx.public_input(k)))
+                o.mul(ctx.fixed(F_QPI[k]), o.sub(ctx.local(V[0]), ctx.public_input(k)))
             )
 
         # dead slots pinned to zero (the bus ignores them ONLY because the
@@ -319,6 +388,9 @@ class RecursionStark(Stark):
         c.constraint_vec_transition(
             o.mul(not_last, o.sub(ctx.next_stack(S), mds_out))
         )
+        # first round reads the block inputs from the V slots; last round
+        # writes the outputs back. Middle rows' V slots belong to packed
+        # generic lanes, so only first/last touch V.
         c.constraint_vec(o.mul(qfirst, o.sub(s, ctx.local_stack(V))))
         c.constraint_vec(o.mul(qlast, o.sub(ctx.local_stack(V), mds_out)))
 
@@ -332,6 +404,7 @@ def generate_trace(
     tr = np.zeros((NUM_COLUMNS, n_rows), dtype=np.uint64)
     rc = C.ALL_ROUND_CONSTANTS.reshape(N_ROUNDS, WIDTH)
     state: List[int] = [0] * WIDTH
+    rnd = 0
     for r, row in enumerate(rows):
         for j, (_tag, _mult, w) in row.slots.items():
             tr[V[j], r] = wire_values[w]

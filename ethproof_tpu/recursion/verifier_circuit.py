@@ -31,12 +31,7 @@ from ..fri.config import StarkConfig
 from ..gf import field_host as fh
 from ..hash import constants as C
 from ..stark.stark import (
-    ConstraintConsumer,
-    CtlInstance,
-    EvalContext,
     Stark,
-    eval_ctl_constraints,
-    eval_lookup_constraints,
     lookup_aux_count,
 )
 from .circuit import CBuilder, Circuit, Ext, Wire
@@ -314,9 +309,9 @@ def add_stark_verify(
     ch.observe(b.const(log_n))
     if stark.num_fixed_columns:
         if fixed_cap is None:
-            from ..stark.prove import fixed_commitment
+            from ..stark.prove import fixed_cap as _fixed_cap
 
-            vk = fixed_commitment(stark, n, config).cap
+            vk = _fixed_cap(stark, n, config)
             fixed_cap = [
                 [b.const(int(vk[r, i])) for r in range(4)]
                 for i in range(vk.shape[1])
@@ -393,34 +388,24 @@ def add_stark_verify(
         g_last * n_inv % P, b.ext_mul(zh, b.ext_inverse(z_last, "l_last"))
     )
     alphas_ext = [base_to_ext(b, a) for a in alphas]
-    consumer = ConstraintConsumer(ops, alphas_ext, z_last, l_first, l_last)
     pis_ext = [base_to_ext(b, w) for w in pis]
-    ctx = EvalContext(ops, trace_z, trace_gz, pis_ext, consumer, fixed_z, fixed_gz)
-    stark.eval(ctx)
-    if spec_ch:
-        instances = [
-            CtlInstance(spec, beta, gamma) for (spec, beta, gamma) in spec_ch
-        ]
-        eval_ctl_constraints(
-            ops, consumer, trace_z + fixed_z, trace_gz + fixed_gz,
-            aux_z[:k_ctl], aux_gz[:k_ctl],
-            instances, [base_to_ext(b, t) for t in ctl_totals],
-        )
-    off = k_ctl
-    for spec in stark.lookups:
-        for alpha in lookup_alphas:
-            w = lookup_aux_count(spec)
-            eval_lookup_constraints(
-                ops, consumer, trace_z + fixed_z, trace_gz + fixed_gz,
-                aux_z[off : off + w], aux_gz[off : off + w],
-                spec, base_to_ext(b, alpha),
-            )
-            off += w
-    if k_custom:
-        stark.eval_custom(
-            ctx, aux_z[off : off + k_custom], aux_gz[off : off + k_custom],
-            [base_to_ext(b, c) for c in aux_challenges],
-        )
+    # replay the recorded constraint program (stark/ir.py) on wire pairs
+    # — the identical expression the prover swept and the host verifier
+    # replays, now compiled into gates with record-time CSE
+    from ..stark.ir import replay_accs
+
+    accs = replay_accs(
+        stark, tuple(spec for (spec, _b, _g) in spec_ch), ops, nc,
+        local=trace_z, nxt=trace_gz, fixed_l=fixed_z, fixed_n=fixed_gz,
+        aux_l=aux_z, aux_n=aux_gz, pis=pis_ext,
+        alphas=alphas_ext,
+        lookup_alphas=[base_to_ext(b, a) for a in lookup_alphas],
+        aux_challenges=[base_to_ext(b, c) for c in aux_challenges],
+        betas=[beta for (_s, beta, _g) in spec_ch],
+        gammas=[gamma for (_s, _b2, gamma) in spec_ch],
+        totals=[base_to_ext(b, t) for t in ctl_totals],
+        z_last=z_last, l_first=l_first, l_last=l_last,
+    )
     for ai in range(nc):
         q_acc = b.ext_const((0, 0))
         zpow = one_ext
@@ -428,7 +413,7 @@ def add_stark_verify(
             q_acc = b.ext_add(q_acc, b.ext_mul(zpow, quot_z[ai * chunks + c]))
             zpow = b.ext_mul(zpow, zeta_n)
         b.ext_assert_eq(
-            consumer.accs[ai], b.ext_mul(zh, q_acc), f"quotient-identity[{ai}]"
+            accs[ai], b.ext_mul(zh, q_acc), f"quotient-identity[{ai}]"
         )
 
     # --- FRI transcript ---

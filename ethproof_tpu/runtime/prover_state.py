@@ -114,3 +114,21 @@ def reset_prover_state() -> None:
     """Testing hook — the reference's OnceLock has no reset; tests need one."""
     global _P_STATE
     _P_STATE = None
+
+
+def artifact_dir() -> Optional[str]:
+    """Directory for deterministic prover artifacts (vkey caps, circuit
+    programs) persisted NEXT TO the XLA cache — the analogue of the
+    reference's serialized circuits in `./prover_state_<digest>`
+    (/root/reference/common/src/prover_state/persistence.rs:32-88).
+
+    Resolution: the initialized prover state's cache dir, else
+    ETHPROOF_ARTIFACT_DIR (lets tests/workers opt in without the global
+    once-init), else None (in-memory only)."""
+    if _P_STATE is not None and _P_STATE.cache_dir:
+        return _P_STATE.cache_dir
+    d = os.environ.get("ETHPROOF_ARTIFACT_DIR")
+    if d:
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None

@@ -97,6 +97,12 @@ def prove_multi(
     mesh=None,
 ) -> MultiProof:
     assert len(starks) == len(traces) == len(public_inputs)
+    if mesh is None:
+        from ..parallel.mesh import default_mesh
+
+        mesh = default_mesh()  # multi-chip hosts shard by default
+    elif mesh is False:
+        mesh = None
     challenger = Challenger()
     # one commit per table, reused by stark_prove (no duplicate LDE/tree)
     commitments = [commit_trace(tr, config, mesh) for tr in traces]

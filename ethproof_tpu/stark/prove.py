@@ -137,6 +137,56 @@ def fixed_commitment(
     return cache[key]
 
 
+def fixed_cap(stark: Stark, n: int, config: StarkConfig) -> np.ndarray:
+    """The vkey CAP only — what the verifier and the recursion compiler
+    consume. Disk-cached under the prover-state artifact dir keyed by a
+    CONTENT digest of the fixed columns + commitment params, so circuit
+    builds and host verification skip the device LDE + Merkle build
+    entirely (the reference persists whole circuits the same way,
+    /root/reference/common/src/prover_state/persistence.rs:40-88).
+    Content keying makes staleness impossible (new columns -> new file);
+    the artifact dir itself is trusted-setup storage, the same trust
+    domain as the reference's deserialized circuits and our XLA cache."""
+    mem = stark.__dict__.setdefault("_fixed_cap_cache", {})
+    fri = config.fri_config
+    key = (n, fri.rate_bits, fri.cap_height, fri.coset_shift)
+    hit = mem.get(key)
+    if hit is not None:
+        return hit
+    # reuse an already-committed full oracle (prover process)
+    cm_key = (n, fri.rate_bits, fri.cap_height, None)
+    cm = stark.__dict__.get("_fixed_cm_cache", {}).get(cm_key)
+    if cm is not None:
+        mem[key] = cm.cap
+        return cm.cap
+    import hashlib
+    import os as _os
+
+    from ..runtime.prover_state import artifact_dir
+
+    path = None
+    d = artifact_dir()
+    if d is not None:
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(stark.fixed_columns(n)).tobytes())
+        h.update(repr(key).encode())
+        path = _os.path.join(d, f"vkcap_{h.hexdigest()[:24]}.npy")
+        if _os.path.exists(path):
+            try:
+                cap = np.load(path)
+                mem[key] = cap
+                return cap
+            except Exception:
+                pass  # corrupt cache degrades to regeneration
+    cap = fixed_commitment(stark, n, config).cap
+    if path is not None:
+        tmp = f"{path}.{_os.getpid()}.tmp.npy"  # np.save keeps .npy suffix
+        np.save(tmp, cap)
+        _os.replace(tmp, path)
+    mem[key] = cap
+    return cap
+
+
 @dataclass
 class TreeOpenings:
     """Openings of one oracle tree at the FRI query indices."""
@@ -377,6 +427,16 @@ def stark_prove(
     cols, n = trace.shape
     assert cols == stark.num_columns
     assert len(public_inputs) == stark.num_public_inputs
+    if mesh is None:
+        # production default: a multi-chip host shards every commit over
+        # the ICI 'col' axis with zero flags (ETHPROOF_MESH=off opts out;
+        # proofs are bit-identical either way — tests/test_parallel.py).
+        # mesh=False forces the unsharded path regardless.
+        from ..parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+    elif mesh is False:
+        mesh = None
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     rate_bits = fri_cfg.rate_bits
@@ -507,36 +567,87 @@ def stark_prove(
     )
 
 
-# One traced+compiled sweep per (stark, shape signature): the machine
-# table emits thousands of constraints whose eager per-op dispatch
-# dominated proving (measured ~110 s/proof on CPU at 2^9); under jit the
-# sweep compiles once (persistent cache) and runs in milliseconds. All
-# transcript values (alphas, CTL beta/gamma/totals, lookup alphas,
-# public inputs) enter as TRACED scalars so the compilation is
-# per-shape, never per-proof.
-_SWEEP_CACHE: dict = {}
+# Sweep backends, selected by ETHPROOF_SWEEP:
+#   "ir" (default) — the constraint IR (stark/ir.py): the table's eval is
+#       recorded ONCE per structure, then executed level-batched; turns
+#       ~10^5 per-proof dispatches into a few hundred stacked GF ops and
+#       keeps the jitted graph small enough for the TPU compile service
+#       even on the 390-column EVM machine.
+#   "eager" — direct Python re-execution of eval per proof (the round-3
+#       default; kept as the differential-testing oracle).
+#   "jit" — jit of the direct eval (round-3 opt-in; huge graphs).
+# Legacy env ETHPROOF_JIT_SWEEP=always still selects "jit".
 
 
-# The jitted sweep amortizes beautifully across a block's transactions
-# (identical shapes), BUT the widest table's graph (the 390-column EVM
-# machine, thousands of u32-pair constraints) currently exceeds what
-# the compile services tolerate: the tunneled TPU's compile helper is
-# OOM-killed (SIGKILL) on it, and XLA:CPU takes tens of minutes. Until
-# the constraint IR is vectorized (PARITY.md round-4 item), the sweep
-# defaults to the eager path and jit is an explicit opt-in
-# (ETHPROOF_JIT_SWEEP=always) for pipelines over narrow tables.
-
-
-def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
-               n_instances, n_lookup_alphas, has_fixed, has_aux):
+def _sweep_mode() -> str:
     import os
 
-    use_jit = os.environ.get("ETHPROOF_JIT_SWEEP", "") == "always"
+    if os.environ.get("ETHPROOF_JIT_SWEEP", "") == "always":
+        return "jit"
+    return os.environ.get("ETHPROOF_SWEEP", "ir")
+
+
+def _ir_sweep(stark, specs, trace_lde, fixed_lde, aux_lde, scalars,
+              log_n, rate_bits, shift, num_challenges, n_lookup_alphas):
+    """Constraint sweep via the recorded IR (stark/ir.py).
+
+    `scalars`: pis + alphas + lookup_alphas + aux_challenges + betas +
+    gammas + totals, in the IR input order. Executors cache on the stark
+    instance keyed by STRUCTURE only — one recording serves every shape
+    and every proof (jax.jit re-specializes per input shape)."""
+    from .ir import SweepExecutor, sweep_program
+
+    cache = stark.__dict__.setdefault("_ir_exec_cache", {})
     key = (
-        id(stark), specs_key, log_n, rate_bits, shift, num_challenges,
+        hash(repr(specs)), num_challenges, n_lookup_alphas,
+        aux_lde is not None,
+    )
+    ex = cache.get(key)
+    if ex is None:
+        prog = sweep_program(
+            stark, specs, num_challenges, n_lookup_alphas,
+            aux_lde is not None,
+        )
+        ex = SweepExecutor(prog)
+        cache[key] = ex
+    rate = 1 << rate_bits
+    parts = [trace_lde, _roll_cols(trace_lde, rate)]
+    if fixed_lde is not None:
+        parts += [fixed_lde, _roll_cols(fixed_lde, rate)]
+    if aux_lde is not None:
+        parts += [aux_lde, _roll_cols(aux_lde, rate)]
+    head = GF(
+        jnp.concatenate([p.lo for p in parts]),
+        jnp.concatenate([p.hi for p in parts]),
+    )
+    scal = gfp.from_u64(
+        np.asarray([int(v) % P for v in scalars], dtype=np.uint64)
+    )
+    zh = _zh_values(log_n, rate_bits, shift)
+    xs = _domain_points(log_n + rate_bits, shift)
+    n = 1 << log_n
+    g_last = fh.inv(fh.primitive_root_of_unity(log_n))
+    n_inv = fh.inv(n)
+    z_last = gfp.sub(xs, _scalar_gf(g_last))
+    l_first = gfp.mul(
+        gfp.mul(zh, gfp.inv(gfp.sub(xs, _scalar_gf(1)))), _scalar_gf(n_inv)
+    )
+    l_last = gfp.mul(
+        gfp.mul(zh, gfp.inv(z_last)), _scalar_gf(g_last * n_inv % P)
+    )
+    tail = gfp.stack([z_last, l_first, l_last])
+    return ex.run(head, scal, tail)
+
+
+def _sweep_jit(stark, specs, log_n, rate_bits, shift, num_challenges,
+               n_instances, n_lookup_alphas, has_fixed, has_aux,
+               use_jit: bool):
+    key = (
+        hash(repr(specs)), log_n, rate_bits, shift, num_challenges,
         n_instances, n_lookup_alphas, has_fixed, has_aux, use_jit,
     )
-    fn = _SWEEP_CACHE.get(key)
+    cache = stark.__dict__.setdefault("_legacy_sweep_cache", {})
+    fn = cache.get(key)
     if fn is not None:
         return fn
     import jax
@@ -544,8 +655,6 @@ def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
     n = 1 << log_n
     m = n << rate_bits
     rate = 1 << rate_bits
-
-    specs = stark._sweep_specs  # set by _sweep_jit's caller
 
     def core(trace_lde, fixed_lde, aux_lde, alphas_arr, pis_arr,
              lookup_arr, auxch_arr, betas_arr, gammas_arr, totals_arr):
@@ -637,7 +746,7 @@ def _sweep_jit(stark, specs_key, log_n, rate_bits, shift, num_challenges,
         )
 
     jitted = jax.jit(core) if use_jit else core
-    _SWEEP_CACHE[key] = jitted
+    cache[key] = jitted
     return jitted
 
 
@@ -670,29 +779,43 @@ def _compute_quotient(
         )
 
     # the CTL specs are structural per (stark, wiring); fingerprint by
-    # repr so a different wiring of the same stark re-traces
+    # repr so a different wiring of the same stark re-records
     specs = tuple(inst.spec for inst in instances)
-    stark._sweep_specs = specs
-    specs_key = hash(repr(specs))
-    sweep = _sweep_jit(
-        stark, specs_key, log_n, rate_bits, shift, num_challenges,
-        len(instances), len(lookup_alphas),
-        stark.num_fixed_columns > 0, aux_lde is not None,
-    )
     if stark.num_fixed_columns:
         assert fixed_lde is not None, "fixed tables must pass the committed LDE"
-    acc_lo, acc_hi = sweep(
-        trace_lde,
-        fixed_lde if stark.num_fixed_columns else None,
-        aux_lde,
-        words(alphas),
-        words(public_inputs),
-        words(lookup_alphas or [0]),
-        words(aux_challenges or [0]),
-        words([inst.beta for inst in instances] or [0]),
-        words([inst.gamma for inst in instances] or [0]),
-        words(ctl_totals or [0]),
-    )
+    mode = _sweep_mode()
+    if mode == "ir":
+        scalars = (
+            list(public_inputs) + list(alphas) + list(lookup_alphas)
+            + list(aux_challenges or []) + [inst.beta for inst in instances]
+            + [inst.gamma for inst in instances] + list(ctl_totals)
+        )
+        acc_lo, acc_hi = _ir_sweep(
+            stark, specs,
+            trace_lde,
+            fixed_lde if stark.num_fixed_columns else None,
+            aux_lde, scalars,
+            log_n, rate_bits, shift, num_challenges, len(lookup_alphas),
+        )
+    else:
+        sweep = _sweep_jit(
+            stark, specs, log_n, rate_bits, shift, num_challenges,
+            len(instances), len(lookup_alphas),
+            stark.num_fixed_columns > 0, aux_lde is not None,
+            use_jit=(mode == "jit"),
+        )
+        acc_lo, acc_hi = sweep(
+            trace_lde,
+            fixed_lde if stark.num_fixed_columns else None,
+            aux_lde,
+            words(alphas),
+            words(public_inputs),
+            words(lookup_alphas or [0]),
+            words(aux_challenges or [0]),
+            words([inst.beta for inst in instances] or [0]),
+            words([inst.gamma for inst in instances] or [0]),
+            words(ctl_totals or [0]),
+        )
     consumer_accs = [GF(acc_lo[i], acc_hi[i]) for i in range(num_challenges)]
 
     zh = _zh_values(log_n, rate_bits, shift)

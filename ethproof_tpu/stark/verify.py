@@ -27,13 +27,9 @@ from ..fri.config import StarkConfig
 from ..fri.verify import _verify_merkle, ext_add, ext_mul, ext_sub, fri_verify
 from .prove import StarkProof
 from .stark import (
-    ConstraintConsumer,
     CtlInstance,
-    EvalContext,
     HostExtOps,
     Stark,
-    eval_ctl_constraints,
-    eval_lookup_constraints,
     lookup_aux_count,
 )
 
@@ -93,9 +89,9 @@ def stark_verify(
         # the vkey: deterministic commitment to the preprocessed columns,
         # recomputed (and cached) by the verifier itself — trusted setup
         # data, not part of the proof
-        from .prove import fixed_commitment
+        from .prove import fixed_cap as _fixed_cap
 
-        fixed_cap = fixed_commitment(stark, n, config).cap
+        fixed_cap = _fixed_cap(stark, n, config)
         challenger.observe_cap(fixed_cap)
     challenger.observe_cap(proof.trace_cap)
     lookup_alphas: List[int] = []
@@ -154,30 +150,25 @@ def stark_verify(
     fixed_l: List[Ext] = _pairs(o.fixed_at_zeta)
     fixed_nx: List[Ext] = _pairs(o.fixed_at_gzeta)
     pis = [ops.constant(int(x)) for x in proof.public_inputs]
-    consumer = ConstraintConsumer(ops, alphas, z_last, l_first, l_last)
-    ctx = EvalContext(ops, local, nxt, pis, consumer, fixed_l, fixed_nx)
-    stark.eval(ctx)
     aux_l, aux_n = _pairs(o.aux_at_zeta), _pairs(o.aux_at_gzeta)
-    if instances:
-        eval_ctl_constraints(
-            ops, consumer, local + fixed_l, nxt + fixed_nx,
-            aux_l[:k_ctl], aux_n[:k_ctl],
-            instances, proof.ctl_totals,
-        )
-    off = k_ctl
-    for spec in stark.lookups:
-        for alpha in lookup_alphas:
-            w = lookup_aux_count(spec)
-            eval_lookup_constraints(
-                ops, consumer, local + fixed_l, nxt + fixed_nx,
-                aux_l[off : off + w], aux_n[off : off + w], spec, alpha,
-            )
-            off += w
-    if k_custom:
-        stark.eval_custom(
-            ctx, aux_l[off : off + k_custom], aux_n[off : off + k_custom],
-            aux_challenges,
-        )
+    # replay the SAME recorded constraint program the prover swept
+    # (stark/ir.py) on host ext pairs — identical expression, no Python
+    # re-trace of eval
+    from .ir import replay_accs
+
+    accs = replay_accs(
+        stark, tuple(inst.spec for inst in instances), ops,
+        config.num_challenges,
+        local=local, nxt=nxt, fixed_l=fixed_l, fixed_n=fixed_nx,
+        aux_l=aux_l, aux_n=aux_n, pis=pis,
+        alphas=[ops.challenge(a) for a in alphas],
+        lookup_alphas=[ops.challenge(a) for a in lookup_alphas],
+        aux_challenges=[ops.challenge(c) for c in aux_challenges],
+        betas=[ops.challenge(inst.beta) for inst in instances],
+        gammas=[ops.challenge(inst.gamma) for inst in instances],
+        totals=[ops.challenge(t) for t in proof.ctl_totals],
+        z_last=z_last, l_first=l_first, l_last=l_last,
+    )
     for ai in range(config.num_challenges):
         q: Ext = (0, 0)
         zpow: Ext = (1, 0)
@@ -185,7 +176,7 @@ def stark_verify(
             y = o.quotient_at_zeta[ai * chunks + c]
             q = ext_add(q, ext_mul(zpow, (int(y[0]), int(y[1]))))
             zpow = ext_mul(zpow, zeta_n)
-        if consumer.accs[ai] != ext_mul(zh, q):
+        if accs[ai] != ext_mul(zh, q):
             return False
 
     # --- 3. FRI on the composition ---

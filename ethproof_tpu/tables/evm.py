@@ -1405,12 +1405,15 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                     "call retLen must be 0 or the output length"
                 )
             entry = (op, addr, args_len, ret_len)
+            # over-limit traces must fail fast, BEFORE the discovery
+            # loop grows call_shapes past the CSEL bank width and pays
+            # an extra re-execution with an oversized PI layout
+            if ccount >= MAX_CALLS:
+                raise Unsupported(f"more than {MAX_CALLS} precompile calls")
             if ccount >= len(shape.call_shapes):
                 raise UnknownCallShape(ccount, entry)
             if shape.call_shapes[ccount] != entry:
                 raise UnknownCallShape(ccount, entry)
-            if ccount >= MAX_CALLS:
-                raise Unsupported(f"more than {MAX_CALLS} precompile calls")
             ci = ccount
             cd_calls[r] = 1
             in_words = shape.call_in_words(args_len)
@@ -1423,6 +1426,34 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             wcount = (args_len + 31) // 32
             pre_cost = {1: 3000, 2: 60 + 12 * wcount, 3: 600 + 120 * wcount,
                         4: 15 + 3 * wcount}[addr]
+            # EIP-150 forwarding: consensus sends min(gasw, 63/64 of the
+            # gas remaining after the access + memory-expansion charges);
+            # a precompile receiving less than its cost fails with
+            # success=0 and consumes only the forwarded gas — a path the
+            # machine does not prove. Gas-starved calls therefore leave
+            # the envelope HERE (explicit Unsupported at generation time)
+            # instead of surfacing later as a state-root/gas mismatch.
+            from ..evm.gas import memory_cost, words_for
+
+            fwd_cap = gasw
+            if inputs.gas_budget > 0:
+                new_words = max(
+                    meter.mem_words,
+                    words_for(args_ofs, args_len),
+                    words_for(ret_ofs, ret_len) if ret_len else 0,
+                )
+                mem_delta = (
+                    memory_cost(new_words) - memory_cost(meter.mem_words)
+                )
+                rem = inputs.gas_budget - meter.used - 100 - mem_delta
+                if rem < 0:
+                    raise Unsupported("out of gas at precompile call")
+                fwd_cap = min(gasw, rem - rem // 64)
+            if fwd_cap < pre_cost:
+                raise Unsupported(
+                    f"precompile {addr:#x} forwarded gas {fwd_cap} < "
+                    f"cost {pre_cost} (call would fail in consensus)"
+                )
             meter.charge(100 + pre_cost)
             meter.charge_mem(args_ofs, args_len)
             touch(r, args_ofs, args_len)

@@ -18,6 +18,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # Tests prove each shape once: the jitted constraint sweep would pay its
 # one-off trace+compile without ever amortizing it (block pipelines do).
 os.environ.setdefault("ETHPROOF_JIT_SWEEP", "never")
+# The 8 virtual devices emulate a TPU slice for the dedicated sharding
+# tests; everything else must stay single-device (the default-mesh
+# production path would otherwise shard EVERY proving test).
+os.environ.setdefault("ETHPROOF_MESH", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -58,3 +62,8 @@ def pytest_collection_modifyitems(config, items):
 jax.config.update("jax_compilation_cache_dir", "/tmp/ethproof_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+# Persistent prover artifacts (vkey caps, circuit programs): recursion
+# tests rebuild root/agg circuits per process; content-keyed disk reuse
+# (stark/prove.fixed_cap) makes that ~10x cheaper after first build.
+os.environ.setdefault("ETHPROOF_ARTIFACT_DIR", "/tmp/ethproof_artifacts_cpu")
