@@ -178,9 +178,34 @@ def main() -> None:
         f"radix2={head_r2 / 1e9:.2f} Gbf/s  ({head_mxu / head_r2:.1f}x)"
     )
 
-    # Print the contract line FIRST — the ladder below pays one cold
-    # compile per point and must not be able to take the headline down
-    # with it if a harness timeout strikes mid-diagnostics.
+    def _mxu_fraction(gbf_s: float, log_n: int) -> float:
+        """Fraction of the chip's bf16 MXU peak this NTT rate implies.
+
+        Absolute-efficiency accounting (BASELINE.md): the four-step
+        kernel's MXU work is sum(2^lb for lb in partition) GF-MACs per
+        element, each decomposed into 8x8 = 64 exact bf16 MACs; a v5e
+        peaks at ~197 bf16 TFLOPs = 98.5 T MACs/s. The VPU twiddle /
+        limb-recombination passes and HBM traffic are NOT counted, so
+        this is a LOWER bound on achieved utilization."""
+        gf_macs_per_elem = sum(1 << lb for lb in mx._partition(log_n))
+        butterflies = (1 << log_n) // 2 * log_n
+        bf16_macs_per_butterfly = (1 << log_n) * gf_macs_per_elem * 64 / butterflies
+        return (gbf_s * 1e9) * bf16_macs_per_butterfly / 98.5e12
+
+    # north-star point (BASELINE.md): single column at 2^28 — measured
+    # in-run so the driver's BENCH_r{N}.json carries the evidence. Guard:
+    # one cold compile; failure (HBM / tunnel) degrades to null fields.
+    ns_gbf = ns_frac = None
+    if not cpu_fallback and os.environ.get("ETHPROOF_BENCH_SKIP_28") != "1":
+        try:
+            b = _rand_batch(28, 1)
+            ns_gbf = measure(mxu, b, 28, 1) / 1e9
+            ns_frac = _mxu_fraction(ns_gbf, 28)
+            _log(f"mxu 1x2^28: {ns_gbf:.2f} Gbf/s ({ns_frac * 100:.0f}% of MXU peak)")
+        except Exception as e:  # HBM limits / tunnel flakes
+            _log(f"mxu 1x2^28: skipped ({e})")
+
+    head_frac = _mxu_fraction(head_mxu / 1e9, H_LOGN) if not cpu_fallback else None
     print(
         json.dumps(
             {
@@ -193,13 +218,23 @@ def main() -> None:
                 # vs this framework's own radix-2 NTT, same chip/workload
                 # (the reference publishes no numbers; BASELINE.md)
                 "vs_baseline": round(head_mxu / head_r2, 2),
+                # absolute-efficiency accounting + the 2^28 north star
+                "mxu_peak_fraction": (
+                    round(head_frac, 3) if head_frac is not None else None
+                ),
+                "ntt_1x2^28_gbf_s": (
+                    round(ns_gbf, 2) if ns_gbf is not None else None
+                ),
+                "ntt_1x2^28_mxu_peak_fraction": (
+                    round(ns_frac, 3) if ns_frac is not None else None
+                ),
             }
         ),
         flush=True,
     )
 
     if mode == "full" and not cpu_fallback:
-        for log_n, cols in ((24, 16), (28, 1)):
+        for log_n, cols in ((24, 16),):
             try:
                 b = _rand_batch(log_n, cols)
                 v = measure(mxu, b, log_n, cols)

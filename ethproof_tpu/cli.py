@@ -112,6 +112,16 @@ def cmd_prove(args) -> int:
         runtime.wait_for_workers(args.num_workers)
     else:
         runtime = Runtime(num_workers=args.num_workers)
+    binding_shape = None
+    if args.recursion:
+        # succinct mode fixes the transfer kernels' in-circuit MPT
+        # binding program: the root circuit variants embed it, so every
+        # transfer's state binding is inside the proved statement (the
+        # reference keeps binding in the one proved kernel too,
+        # /root/reference/ops/src/lib.rs:52)
+        from .evm.binding import PRODUCTION_SHAPE
+
+        binding_shape = PRODUCTION_SHAPE
     try:
         bp = prove_block(
             ir,
@@ -120,6 +130,7 @@ def cmd_prove(args) -> int:
             sizes=config,
             runtime=runtime,
             recursion=args.recursion,
+            binding_shape=binding_shape,
         )
     finally:
         runtime.close()
@@ -203,7 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
     prove.add_argument(
         "--recursion",
         action="store_true",
-        help="succinct constant-size block proof via the recursion ladder",
+        help="succinct constant-size block proof via the recursion ladder "
+        "(transfer state binding proved in-circuit; contract-call storage "
+        "binding is still host-checked in this mode — see PARITY.md)",
     )
     _add_circuit_flags(prove)
     prove.set_defaults(fn=cmd_prove)

@@ -18,8 +18,8 @@ plonky2's gate/CircuitBuilder stack with:
 - `aggregate`: tx -> agg -> block proof algebra over machine proofs.
 """
 
-from .aggregate import AggLadder, combine_digests, expected_digest, fold_proofs, verify_fold
+from .aggregate import AggLadder, combine_digests, expected_statement, fold_proofs, verify_fold
 from .circuit import CBuilder, Circuit, Gate, interpret
 from .machine import RecursionStark, generate_trace
-from .root import TxRootCircuit, build_tx_root, tx_statement_digest
+from .root import TxRootCircuit, build_tx_root, leaf_statement, tx_seam, tx_statement_digest
 from .wrap import MachineProof, build_wrap, prove_circuit, verify_machine

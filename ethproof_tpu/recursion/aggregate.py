@@ -16,14 +16,23 @@ Leaf lists are padded to a power of two by REPEATING the last leaf proof
 an already-proven statement needs no dummy circuits, and the verifier
 replays the padding in its host digest computation).
 
-Statement algebra (4-element Poseidon digests):
-  leaf:  D_tx              (exposed by the tx root circuit)
-  agg:   D = two_to_one(D_left, D_right)
+Statement algebra (recursion/root.py layout; E = sponge(seam ++ D)):
+  leaf:  E_tx = sponge(seam_tx ++ D_tx)       (exposed by the root circuit)
+  agg:   seam = chain(seam_L, seam_R), D = two_to_one(D_L, D_R),
+         E = sponge(seam ++ D)
+where chain REQUIRES, in-circuit, left.after == right.before for
+(txn number, gas, state root) — the reference aggregation circuit's
+public-value continuity (/root/reference/ops/src/lib.rs:67-82). A
+witnessed, bool-checked `pad` bit handles the fold's repeat-padding:
+pad=1 instead requires E_L == E_R (the right child replays the left's
+statement) and carries the left seam through. Both children's (seam, D)
+preimages enter as witness wires bound to the child proofs by
+recomputing each child's exposed E in-circuit.
 
 A block verifier therefore checks ONE machine proof and re-derives the
-expected digest tree from the per-tx statements by host hashing — cost
-independent of transaction count beyond O(#tx) host Poseidon calls, and
-proof size constant in the number of transactions.
+expected statement tree from the per-tx statements by host hashing —
+cost independent of transaction count beyond O(#tx) host Poseidon calls,
+and proof size constant in the number of transactions.
 """
 
 from __future__ import annotations
@@ -35,7 +44,13 @@ from ..fri.config import StarkConfig
 from ..gf import field_host as fh
 from ..hash import poseidon
 from .machine import RecursionStark
-from .verifier_circuit import CircuitChallenger, VerifierCompiler, add_stark_verify
+from .root import SEAM_WORDS, leaf_statement
+from .verifier_circuit import (
+    CircuitChallenger,
+    VerifierCompiler,
+    add_stark_verify,
+    sponge_hash,
+)
 from .wrap import MachineProof, machine_degree, prove_circuit, verify_machine
 
 P = fh.P
@@ -43,14 +58,36 @@ NUM_PI = 4
 
 
 def combine_digests(left: Sequence[int], right: Sequence[int]) -> List[int]:
-    """Host mirror of the agg circuit's statement combination."""
+    """Host mirror of the agg circuit's inner-digest combination."""
     return poseidon.two_to_one_host(list(left), list(right))
+
+
+def _is_pad(left: MachineProof, right: MachineProof) -> bool:
+    """The fold's repeat-padding is detectable by statement equality
+    (a real pair can never share a statement: every leaf increments the
+    txn number, so no subtree has before == after)."""
+    return [int(x) % P for x in right.proof.public_inputs] == [
+        int(x) % P for x in left.proof.public_inputs
+    ]
+
+
+def chain_seams(ls: List[int], rs: List[int], pad: bool) -> List[int]:
+    """Host mirror of the agg circuit's seam combination (pad=1 keeps
+    the left seam; else (left.before, right.after))."""
+    if pad:
+        return list(ls)
+    return [ls[0], rs[1], ls[2], rs[3]] + ls[4:20] + rs[20:36]
+
+
+def seams_chain(ls: List[int], rs: List[int]) -> bool:
+    """left.after == right.before on (txn, gas, root)."""
+    return ls[1] == rs[0] and ls[3] == rs[2] and ls[20:36] == rs[4:20]
 
 
 @dataclass
 class AggCircuit:
-    """Level-k aggregation: verifies two level-(k-1) machine proofs and
-    exposes two_to_one(D_left, D_right)."""
+    """Level-k aggregation: verifies two level-(k-1) machine proofs,
+    chains their seams in-circuit, and exposes the combined statement."""
 
     vc: VerifierCompiler
     stark: RecursionStark
@@ -59,12 +96,20 @@ class AggCircuit:
     def prove(
         self, left: MachineProof, right: MachineProof, config: StarkConfig
     ) -> MachineProof:
-        witness = self.vc.stream((left, right))
-        pis = combine_digests(
-            [int(x) % P for x in left.proof.public_inputs],
-            [int(x) % P for x in right.proof.public_inputs],
+        assert left.seam is not None and right.seam is not None, (
+            "agg children must carry their statement preimages"
         )
-        return prove_circuit(self.stark, witness, pis, config, self.log_n)
+        pad = _is_pad(left, right)
+        witness = self.vc.stream((left, right))
+        seam = chain_seams(left.seam, right.seam, pad)
+        digest = combine_digests(left.digest, right.digest)
+        mp = prove_circuit(
+            self.stark, witness, leaf_statement(seam, digest), config,
+            self.log_n,
+        )
+        mp.seam = seam
+        mp.digest = digest
+        return mp
 
 
 def _variant_cap_wires(vc, child_starks, n: int, config: StarkConfig, side: int):
@@ -75,11 +120,11 @@ def _variant_cap_wires(vc, child_starks, n: int, config: StarkConfig, side: int)
     only picks WHICH vkey the proof must verify against; the statement
     digest itself is recomputed by the outer verifier from the witness,
     so a wrong-variant proof cannot carry the forced public inputs."""
-    from ..stark.prove import fixed_commitment
+    from ..stark.prove import fixed_cap
     from .verifier_circuit import mux
 
     b = vc.b
-    caps = [fixed_commitment(s, n, config).cap for s in child_starks]
+    caps = [fixed_cap(s, n, config) for s in child_starks]
     if len(caps) == 1:
         vk = caps[0]
         return [
@@ -117,32 +162,68 @@ def build_agg(
     vc = VerifierCompiler()
     b = vc.b
     zero = b.const(0)
+    one = b.const(1)
     n = 1 << child_log_n
-    left_pis = [
-        vc.inp(lambda c, k=k: int(c[0].proof.public_inputs[k]) % P, f"l_pi[{k}]")
-        for k in range(NUM_PI)
-    ]
-    right_pis = [
-        vc.inp(lambda c, k=k: int(c[1].proof.public_inputs[k]) % P, f"r_pi[{k}]")
-        for k in range(NUM_PI)
-    ]
+
+    def side(s: int):
+        """Witness one child's (seam, D) preimage; its recomputed E is
+        the public-input vector the child proof must verify against —
+        binding the witnessed preimage to the proved statement."""
+        seam = [
+            vc.inp(lambda c, s=s, i=i: int(c[s].seam[i]) % P, f"seam[{s}][{i}]")
+            for i in range(SEAM_WORDS)
+        ]
+        dig = [
+            vc.inp(lambda c, s=s, k=k: int(c[s].digest[k]) % P, f"dig[{s}][{k}]")
+            for k in range(NUM_PI)
+        ]
+        return seam, dig, sponge_hash(b, seam + dig, NUM_PI)
+
+    l_seam, l_dig, l_e = side(0)
+    r_seam, r_dig, r_e = side(1)
     add_stark_verify(
         vc, child_starks[0], child_log_n, config,
-        CircuitChallenger(b), left_pis, proof_of=lambda c: c[0].proof,
+        CircuitChallenger(b), l_e, proof_of=lambda c: c[0].proof,
         fixed_cap=_variant_cap_wires(vc, child_starks, n, config, 0),
     )
     add_stark_verify(
         vc, child_starks[0], child_log_n, config,
-        CircuitChallenger(b), right_pis, proof_of=lambda c: c[1].proof,
+        CircuitChallenger(b), r_e, proof_of=lambda c: c[1].proof,
         fixed_cap=_variant_cap_wires(vc, child_starks, n, config, 1),
     )
-    out = b.poseidon(left_pis + right_pis + [zero] * 4, "combine")[:NUM_PI]
+
+    # seam continuity (left.after == right.before), or — under the
+    # witnessed pad bit — right replays left's exact statement
+    pad = vc.inp(lambda c: int(_is_pad(c[0], c[1])), "pad")
+    b.bool_check(pad)
+    not_pad = b.sub(one, pad)
+    b.assert_zero(b.mul(not_pad, b.sub(l_seam[1], r_seam[0])), "txn-seam")
+    b.assert_zero(b.mul(not_pad, b.sub(l_seam[3], r_seam[2])), "gas-seam")
+    for i in range(16):
+        b.assert_zero(
+            b.mul(not_pad, b.sub(l_seam[20 + i], r_seam[4 + i])),
+            f"root-seam[{i}]",
+        )
+    for k in range(NUM_PI):
+        b.assert_zero(b.mul(pad, b.sub(l_e[k], r_e[k])), f"pad-dup[{k}]")
+
+    comb_seam = (
+        [
+            l_seam[0],
+            b.select(pad, l_seam[1], r_seam[1]),
+            l_seam[2],
+            b.select(pad, l_seam[3], r_seam[3]),
+        ]
+        + l_seam[4:20]
+        + [b.select(pad, l_seam[20 + i], r_seam[20 + i]) for i in range(16)]
+    )
+    comb_dig = b.poseidon(l_dig + r_dig + [zero] * 4, "combine")[:NUM_PI]
+    out = sponge_hash(b, comb_seam + comb_dig, NUM_PI)
     for k in range(NUM_PI):
         b.expose(out[k], k, f"pi[{k}]")
     circuit = b.build()
-    return AggCircuit(
-        vc=vc, stark=RecursionStark(circuit), log_n=machine_degree(circuit)
-    )
+    stark = RecursionStark(circuit)
+    return AggCircuit(vc=vc, stark=stark, log_n=machine_degree(stark))
 
 
 class AggLadder:
@@ -203,29 +284,52 @@ def fold_proofs(
     return proofs[0], level
 
 
-def expected_digest(leaf_digests: List[List[int]]) -> List[int]:
-    """Host replay of the fold's statement algebra (incl. padding)."""
-    ds = [list(d) for d in leaf_digests]
-    while len(ds) & (len(ds) - 1):
-        ds.append(ds[-1])
-    while len(ds) > 1:
-        ds = [combine_digests(ds[i], ds[i + 1]) for i in range(0, len(ds), 2)]
-    return ds[0]
+def expected_statement(
+    leaf_parts: List[Tuple[List[int], List[int]]],
+) -> "Tuple[List[int], List[int]] | None":
+    """Host replay of the fold's statement algebra (incl. padding):
+    -> the top (seam, digest), or None if the leaf seams do not chain
+    (left.after != right.before anywhere in the tree)."""
+    nodes = [
+        ([int(x) % P for x in s], [int(x) % P for x in d])
+        for s, d in leaf_parts
+    ]
+    while len(nodes) & (len(nodes) - 1):
+        nodes.append(nodes[-1])
+    while len(nodes) > 1:
+        nxt = []
+        for i in range(0, len(nodes), 2):
+            (ls, ld), (rs, rd) = nodes[i], nodes[i + 1]
+            pad = ls == rs and ld == rd
+            if not pad and not seams_chain(ls, rs):
+                return None
+            nxt.append((chain_seams(ls, rs, pad), combine_digests(ld, rd)))
+        nodes = nxt
+    return nodes[0]
 
 
 def verify_fold(
     ladder: AggLadder,
     top: MachineProof,
     top_level: int,
-    leaf_digests: List[List[int]],
+    leaf_parts: List[Tuple[List[int], List[int]]],
     config: StarkConfig,
 ) -> bool:
-    """Succinct verification: ONE machine proof + host digest replay."""
+    """Succinct verification: ONE machine proof + host statement replay.
+    `leaf_parts`: per real tx, the (seam, digest) pair re-derived from
+    the WITNESS (not from the proof) — matching it against the proved
+    top statement is what ties the machine proof to this block."""
     starks, log_n = ladder.level_shape(top_level)
     if top.log_n != log_n:
         return False
     if top.variant >= len(starks):
         return False
-    if [int(x) % P for x in top.proof.public_inputs] != expected_digest(leaf_digests):
+    want = expected_statement(leaf_parts)
+    if want is None:
+        return False
+    seam, digest = want
+    if [int(x) % P for x in top.proof.public_inputs] != leaf_statement(
+        seam, digest
+    ):
         return False
     return verify_machine(starks[top.variant], top, config)

@@ -21,7 +21,7 @@ state (/root/reference/common/src/prover_state/circuit.rs:177-197).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from ..fri.config import StarkConfig
 from ..gf import field_host as fh
@@ -42,34 +42,99 @@ P = fh.P
 
 
 def tx_statement_digest(pi_limbs: List[int]) -> List[int]:
-    """Host mirror of the root circuit's exposed statement digest."""
+    """Host mirror of the root circuit's inner kernel digest D_tx."""
     return poseidon.hash_n_to_m_no_pad_host([int(x) % P for x in pi_limbs], 4)
+
+
+# seam layout: (txn_before, txn_after, gas_before, gas_after,
+#               root_pre limbs[16], root_post limbs[16]) — 36 words.
+# This is the public-value sextuple the reference's aggregation circuit
+# chains (/root/reference/ops/src/lib.rs:67-82); roots use the kernel's
+# 16x16-bit little-endian limb encoding (tables/common.py) so the leaf
+# circuit can equate them with the cpu table's own PI wires.
+SEAM_WORDS = 4 + 16 + 16
+
+
+def tx_seam(gi) -> List[int]:
+    """Seam words for one real transaction, from its GenerationInputs."""
+    from ..evm.kasm import le_word
+    from ..tables.common import int_to_limbs
+
+    return (
+        [
+            gi.txn_number_before,
+            gi.txn_number_before + 1,
+            gi.gas_used_before,
+            gi.gas_used_after,
+        ]
+        + int_to_limbs(le_word(gi.tries.state_trie.hash()))
+        + int_to_limbs(le_word(gi.trie_roots_after.state_root))
+    )
+
+
+def leaf_statement(seam: List[int], digest: List[int]) -> List[int]:
+    """Host mirror of the root circuit's exposed statement
+    E = sponge(seam ++ D_tx)."""
+    assert len(seam) == SEAM_WORDS and len(digest) == 4
+    return poseidon.hash_n_to_m_no_pad_host(
+        [int(x) % P for x in seam] + [int(x) % P for x in digest], 4
+    )
+
+
+@dataclass
+class _RootFill:
+    """Fill context for a root circuit's witness stream."""
+
+    multi: MultiProof
+    seam: List[int]
 
 
 @dataclass
 class TxRootCircuit:
-    """Compiled root: machine circuit verifying one MultiProof."""
+    """Compiled root: machine circuit verifying one MultiProof, exposing
+    E = sponge(seam ++ D_tx). `seam_root_slices` records which cpu PI
+    limb ranges the seam roots were wired to (None: witnessed — the EVM
+    leaf until the binding proof is folded in, PARITY.md)."""
 
     vc: VerifierCompiler
     stark: RecursionStark
     log_n: int
+    seam_root_slices: "Optional[Tuple[slice, slice]]" = None
 
-    def prove(self, multi: MultiProof, config: StarkConfig) -> MachineProof:
-        witness = self.vc.stream(multi)
-        pis = tx_statement_digest(multi.proofs[0].public_inputs)
-        return prove_circuit(self.stark, witness, pis, config, self.log_n)
+    def prove(
+        self, multi: MultiProof, seam: List[int], config: StarkConfig
+    ) -> MachineProof:
+        digest = tx_statement_digest(multi.proofs[0].public_inputs)
+        witness = self.vc.stream(_RootFill(multi=multi, seam=seam))
+        mp = prove_circuit(
+            self.stark, witness, leaf_statement(seam, digest), config,
+            self.log_n,
+        )
+        mp.seam = list(seam)
+        mp.digest = digest
+        return mp
 
 
 def build_tx_root(
     cpu: CpuStark, sizes: TableSizes, config: StarkConfig
 ) -> TxRootCircuit:
     """Compile the circuit verifying `prove_all_tables(cpu, ., sizes, .)`
-    proofs. Mirrors verify_multi (stark/multi.py) exactly."""
+    proofs. Mirrors verify_multi (stark/multi.py) exactly. The seam's
+    state roots are wired to the transfer kernel's own root PI limbs
+    (PI_STATE_ROOT_PRE/POST), so the exposed statement's roots are
+    STARK-bound, not claimed."""
+    from ..evm.transfer import PI_STATE_ROOT_POST, PI_STATE_ROOT_PRE
+    from ..tables.common import N_LIMBS
+
     with_keccak = sizes.keccak is not None
     starks = all_starks(cpu, with_keccak)
     ctls = build_ctls(cpu, with_keccak)
     log_ns = sizes.degree_bits(with_keccak)
-    return _build_root(starks, ctls, log_ns, config)
+    slices = (
+        slice(PI_STATE_ROOT_PRE * N_LIMBS, (PI_STATE_ROOT_PRE + 1) * N_LIMBS),
+        slice(PI_STATE_ROOT_POST * N_LIMBS, (PI_STATE_ROOT_POST + 1) * N_LIMBS),
+    )
+    return _build_root(starks, ctls, log_ns, config, seam_root_slices=slices)
 
 
 def build_evm_root(machine, sizes: TableSizes, config: StarkConfig) -> TxRootCircuit:
@@ -86,7 +151,9 @@ def build_evm_root(machine, sizes: TableSizes, config: StarkConfig) -> TxRootCir
     return _build_root(starks, ctls, log_ns, config)
 
 
-def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
+def _build_root(
+    starks, ctls, log_ns, config: StarkConfig, seam_root_slices=None
+) -> TxRootCircuit:
     assert len(log_ns) == len(starks)
     nc = config.num_challenges
 
@@ -102,7 +169,7 @@ def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
     for t, (stark, log_n) in enumerate(zip(starks, log_ns)):
         pis_t = [
             vc.inp(
-                lambda m, t=t, k=k: int(m.proofs[t].public_inputs[k]) % P,
+                lambda c, t=t, k=k: int(c.multi.proofs[t].public_inputs[k]) % P,
                 f"pis[{t}][{k}]",
             )
             for k in range(stark.num_public_inputs)
@@ -110,7 +177,7 @@ def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
         ch.observe_many(pis_t)
         ch.observe(b.const(log_n))
         cap_t = vc.inp_cap(
-            lambda m, t=t: m.proofs[t].trace_cap,
+            lambda c, t=t: c.multi.proofs[t].trace_cap,
             config.fri_config.cap_height,
             f"cap[{t}]",
         )
@@ -129,7 +196,7 @@ def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
         spec_ch = [(i.spec, i.beta, i.gamma) for i in instances]
         wires = add_stark_verify(
             vc, stark, log_n, config, ch, table_pis[t],
-            proof_of=lambda m, t=t: m.proofs[t],
+            proof_of=lambda c, t=t: c.multi.proofs[t],
             ctl_specs_with_challenges=spec_ch or None,
             trace_cap=table_caps[t],
         )
@@ -152,12 +219,36 @@ def _build_root(starks, ctls, log_ns, config: StarkConfig) -> TxRootCircuit:
                 f"ctl-product[{ci}][{hi}]",
             )
 
-    # --- statement digest: the cpu table's public inputs ---
+    # --- leaf statement: E = sponge(seam ++ D_tx) ---
+    # D_tx digests the kernel's public inputs; the seam carries the
+    # aggregation sextuple. txn/gas words are witnessed (bound into E;
+    # re-derived from the witness by the host verifier); t_after is
+    # constrained = t_before + 1 (a real tx); the roots are the kernel's
+    # own root PI limb wires when seam_root_slices names them (transfer),
+    # else witnessed (EVM leaf — binding-proof fold pending, PARITY.md).
     digest = sponge_hash(b, table_pis[0], 4)
+    seam_scalars = [
+        vc.inp(lambda c, i=i: int(c.seam[i]) % P, f"seam[{i}]")
+        for i in range(4)
+    ]
+    b.assert_eq(
+        seam_scalars[1], b.add(seam_scalars[0], b.const(1)), "txn-increment"
+    )
+    if seam_root_slices is not None:
+        pre_sl, post_sl = seam_root_slices
+        root_wires = list(table_pis[0][pre_sl]) + list(table_pis[0][post_sl])
+    else:
+        root_wires = [
+            vc.inp(lambda c, i=i: int(c.seam[4 + i]) % P, f"seam_root[{i}]")
+            for i in range(32)
+        ]
+    statement = sponge_hash(b, seam_scalars + root_wires + digest, 4)
     for k in range(4):
-        b.expose(digest[k], k, f"pi[{k}]")
+        b.expose(statement[k], k, f"pi[{k}]")
 
     circuit = b.build()
+    stark = RecursionStark(circuit)
     return TxRootCircuit(
-        vc=vc, stark=RecursionStark(circuit), log_n=machine_degree(circuit)
+        vc=vc, stark=stark, log_n=machine_degree(stark),
+        seam_root_slices=seam_root_slices,
     )

@@ -25,9 +25,14 @@ from .verifier_circuit import CompiledVerifier, compile_stark_verifier
 P = fh.P
 
 
-def machine_degree(circuit: Circuit, floor_bits: int = 6) -> int:
-    """log2 rows for a machine proof of `circuit` (next pow2, floored)."""
-    need = max(circuit.num_rows, 1 << floor_bits)
+def machine_degree(target, floor_bits: int = 6) -> int:
+    """log2 rows for a machine proof (next pow2, floored).
+
+    Accepts the RecursionStark (whose layout knows the PACKED row count
+    after 4-lane scheduling) or a bare Circuit (pre-packing upper bound
+    — only for sizing before a stark exists)."""
+    rows = target.num_rows  # RecursionStark.num_rows or Circuit.num_rows
+    need = max(rows, 1 << floor_bits)
     return (need - 1).bit_length()
 
 
@@ -37,11 +42,19 @@ class MachineProof:
 
     `variant` selects among registered same-shape leaf circuits (e.g. the
     per-overlap transfer root circuits) when a parent agg circuit muxes
-    the child vkey — see aggregate.build_agg."""
+    the child vkey — see aggregate.build_agg.
+
+    `seam`/`digest` are the statement PREIMAGE (aggregation sextuple +
+    inner kernel digest; recursion/root.py layout) whose sponge equals
+    the proof's 4 public-input words. They are prover-side plumbing: a
+    parent agg circuit witnesses them to recompute and chain the child
+    statements; verifiers re-derive them from the witness instead."""
 
     proof: StarkProof
     log_n: int
     variant: int = 0
+    seam: Optional[List[int]] = None
+    digest: Optional[List[int]] = None
 
 
 def prove_circuit(
@@ -54,7 +67,7 @@ def prove_circuit(
     """Interpret the circuit (checking every assertion — the prover-side
     sanity run), generate the machine trace, and STARK-prove it."""
     vals = interpret(stark.circuit, witness, public_inputs, check=True)
-    bits = log_n or machine_degree(stark.circuit)
+    bits = log_n or machine_degree(stark)
     tr = generate_trace(stark, vals, 1 << bits)
     return MachineProof(
         proof=stark_prove(stark, tr, public_inputs, config), log_n=bits
@@ -89,5 +102,5 @@ def build_wrap(child_stark, child_log_n: int, config: StarkConfig) -> WrapCircui
     compiled = compile_stark_verifier(child_stark, child_log_n, config)
     stark = RecursionStark(compiled.circuit)
     return WrapCircuit(
-        compiled=compiled, stark=stark, log_n=machine_degree(compiled.circuit)
+        compiled=compiled, stark=stark, log_n=machine_degree(stark)
     )

@@ -163,8 +163,10 @@ def tx_proof(
                 )
                 if recursion is not None:
                     with span("p_root", tx=label):
+                        from ..recursion.root import tx_seam
+
                         root = recursion.evm_root(proof.shape)
-                        mp = root.prove(proof.multi, config)
+                        mp = root.prove(proof.multi, tx_seam(gi), config)
                         mp.variant = recursion.variant_of_evm(proof.shape)
                         proof.root_proof = mp
                         proof.multi = None
@@ -175,8 +177,10 @@ def tx_proof(
             proof = prove_transfer(gi, config, sizes, binding=binding)
             if recursion is not None:
                 with span("p_root", tx=label):
+                    from ..recursion.root import tx_seam
+
                     root = recursion.root(proof.overlap)
-                    mp = root.prove(proof.multi, config)
+                    mp = root.prove(proof.multi, tx_seam(gi), config)
                     mp.variant = recursion.variant_of(proof.overlap)
                     proof.root_proof = mp
                     proof.multi = None  # the machine proof subsumes it
@@ -313,16 +317,21 @@ def verify_block(
         return False
     if succinct:
         from ..recursion.aggregate import verify_fold
-        from ..recursion.root import tx_statement_digest
+        from ..recursion.root import tx_seam, tx_statement_digest
         from ..tables.cpu import pi_limbs
 
         txs = _real_txs(bp.agg)
         if not txs:
             return False  # a succinct proof with no real txs is malformed
-        digests = [tx_statement_digest(pi_limbs(t.pi_words)) for t in txs]
+        # per-leaf (seam, digest) re-derived from the WITNESS; the proved
+        # top statement must hash-match their in-circuit-chained fold
+        parts = [
+            (tx_seam(t.gen_inputs), tx_statement_digest(pi_limbs(t.pi_words)))
+            for t in txs
+        ]
         if not verify_fold(
             recursion.ladder, bp.succinct.top, bp.succinct.level,
-            digests, config,
+            parts, config,
         ):
             return False
     if bp.state_root_before != bp.agg.state_root_before:

@@ -96,13 +96,17 @@ def tree_fold(combine: Callable, leaves: List) -> object:
 
 
 def _fit_block_sizes(
-    gen_inputs: List[GenerationInputs], circuit_config
+    gen_inputs: List[GenerationInputs], circuit_config, binding_shape=None
 ) -> TableSizes:
     """Uniform per-block table sizes: fit the MAX demand over all real
     txs within the configured ranges. Uniformity is what lets one
     recursion ladder (one leaf vkey set) cover the whole block — the
     analogue of the reference's per-config circuit set covering every tx
-    (/root/reference/common/src/prover_state/circuit.rs:77-100)."""
+    (/root/reference/common/src/prover_state/circuit.rs:77-100).
+
+    With `binding_shape`, transfer kernels are sized for their BOUND
+    form (in-circuit MPT binding adds program steps + keccak demand).
+    The keccak table pair is dropped only when no tx needs it."""
     from ..evm.transfer import (
         derive_pi_words,
         overlap_pattern,
@@ -112,7 +116,7 @@ def _fit_block_sizes(
     from . import ops as _ops
 
     merged: dict = {}
-    with_keccak = False
+    with_keccak = binding_shape is not None
     for gi in gen_inputs:
         if gi.signed_txn is None:
             continue
@@ -123,13 +127,24 @@ def _fit_block_sizes(
             counts = evm_table_counts(shape, res)
             with_keccak = True
         else:
-            _, s, r, m = derive_pi_words(gi)
-            counts = kernel_counts(
-                transfer_kernel_program(overlap_pattern(s, r, m))
-            )
+            pi, s, r, m = derive_pi_words(gi)
+            overlap = overlap_pattern(s, r, m)
+            if binding_shape is not None:
+                from ..evm.binding import build_binding_witness
+                from ..evm.transfer import _binding_finals, build_kernel
+
+                bw = build_binding_witness(
+                    gi.tries.state_trie,
+                    _binding_finals(gi, pi, s, r, m),
+                    binding_shape,
+                )
+                kasm = build_kernel(overlap, binding_shape, pi, bw)
+                counts = kernel_counts(kasm.prog, kasm.hash_requests())
+            else:
+                counts = kernel_counts(transfer_kernel_program(overlap))
         for k, v in counts.items():
             merged[k] = max(merged.get(k, 1), v)
-    return TableSizes.fit(circuit_config, merged, with_keccak=True)
+    return TableSizes.fit(circuit_config, merged, with_keccak=with_keccak)
 
 
 def prove_block(
@@ -139,13 +154,17 @@ def prove_block(
     runtime: Optional[Runtime] = None,
     prev: Optional[ops.GeneratedBlockProof] = None,
     recursion: bool = False,
+    binding_shape: Optional[object] = None,  # evm.binding.KernelShape
 ) -> ops.GeneratedBlockProof:
     """witness IR -> block proof (reference prover.rs:26-39).
 
     recursion=True: per-tx root machine proofs + the aggregation ladder
     fold produce a constant-size succinct block proof (the reference's
     AllRecursiveCircuits flow, ops/src/lib.rs:52-101); per-tx multi-STARK
-    bundles are dropped after wrapping."""
+    bundles are dropped after wrapping. `binding_shape` fixes the
+    transfer kernels' in-circuit MPT-binding program (REQUIRED for every
+    transfer when set — the root circuit variants embed it); None proves
+    transfers without in-circuit binding (host-checked tier)."""
     assert len(gen_inputs) >= 2, "padding guarantees >= 2 payloads"
     runtime = runtime or Runtime()
     with span("prove_block", txs=len(gen_inputs)):
@@ -153,7 +172,7 @@ def prove_block(
             from ..runtime.prover_state import CircuitConfig
 
             if isinstance(sizes, CircuitConfig):
-                sizes = _fit_block_sizes(gen_inputs, sizes)
+                sizes = _fit_block_sizes(gen_inputs, sizes, binding_shape)
             elif sizes is None:
                 sizes = TableSizes()
         # pre-scan: contract-call txs register their machine shapes as
@@ -174,6 +193,7 @@ def prove_block(
             [
                 ("tx_proof", dict(gi=gi, config=config, sizes=sizes,
                                   recursion=recursion,
+                                  binding_shape=binding_shape,
                                   evm_shapes=evm_shapes or None))
                 for gi in gen_inputs
             ]
@@ -189,16 +209,20 @@ def prove_block(
             if mproofs:
                 with span("p_fold", leaves=len(mproofs)):
                     top, level = _fold_machine_proofs(
-                        runtime, mproofs, sizes, config, evm_shapes
+                        runtime, mproofs, sizes, config, evm_shapes,
+                        binding_shape,
                     )
                 bp.succinct = ops.SuccinctBlockProof(
                     top=top, level=level, sizes=sizes,
+                    binding_shape=binding_shape,
                     evm_shapes=evm_shapes or None,
                 )
         return bp
 
 
-def _fold_machine_proofs(runtime, leaves: List, sizes, config, evm_shapes=None):
+def _fold_machine_proofs(
+    runtime, leaves: List, sizes, config, evm_shapes=None, binding_shape=None
+):
     """Runtime-parallel balanced fold over the recursion ladder — each
     level's pairwise agg proofs are independent tasks (the reference's
     tree-parallel AggProof fold over workers, SURVEY §2c.2). Pads to a
@@ -215,6 +239,7 @@ def _fold_machine_proofs(runtime, leaves: List, sizes, config, evm_shapes=None):
                 ("agg_machine", dict(level=level, left=proofs[i],
                                      right=proofs[i + 1], sizes=sizes,
                                      config=config,
+                                     binding_shape=binding_shape,
                                      evm_shapes=evm_shapes or None))
                 for i in range(0, len(proofs), 2)
             ]

@@ -121,6 +121,10 @@ def machine_proof_to_json(mp) -> dict:
         "proof": stark_proof_to_json(mp.proof),
         "log_n": mp.log_n,
         "variant": mp.variant,
+        # statement preimage: needed by parent agg provers (fleet tasks
+        # ship child proofs over the wire); verifiers re-derive it
+        "seam": list(mp.seam) if mp.seam is not None else None,
+        "digest": list(mp.digest) if mp.digest is not None else None,
     }
 
 
@@ -131,6 +135,10 @@ def machine_proof_from_json(d: dict):
         proof=stark_proof_from_json(d["proof"]),
         log_n=int(d["log_n"]),
         variant=int(d["variant"]),
+        seam=[int(x) for x in d["seam"]] if d.get("seam") is not None else None,
+        digest=(
+            [int(x) for x in d["digest"]] if d.get("digest") is not None else None
+        ),
     )
 
 

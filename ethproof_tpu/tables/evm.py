@@ -158,7 +158,9 @@ RETURN, REVERT = 0xF3, 0xFD
 CALL, STATICCALL = 0xF1, 0xFA  # precompile targets only (envelope)
 # supported precompiles: 1 = ecrecover, 2 = sha256, 3 = ripemd160,
 # 4 = identity; each succeeds or the witness is Unsupported
-PRECOMPILES = (1, 2, 3, 4)
+# 0x01..0x09 except 0x08 (bn128 pairing — Fp12 Miller loop, out of the
+# envelope; calls to it are Unsupported, never unsound)
+PRECOMPILES = (1, 2, 3, 4, 5, 6, 7, 9)
 
 # opcode -> (pops, pushes) for the simple selectors
 _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
@@ -300,16 +302,24 @@ class EvmShape:
         return max((dl + 31) // 32, 1)
 
     @staticmethod
-    def call_out_len(pre_id: int, args_len: int) -> int:
-        """Output byte length of a supported precompile."""
-        return args_len if pre_id == 4 else 32
+    def call_out_len(pre_id: int, args_len: int, ret_len: int = 0) -> int:
+        """Output byte length of a supported precompile. For modexp
+        (0x05) the length is content-dependent (msize), so the envelope
+        pins it to the popped retLen (generation checks the equality)."""
+        if pre_id == 4:
+            return args_len
+        if pre_id == 5:
+            return ret_len
+        if pre_id in (6, 7, 9):
+            return 64
+        return 32
 
     @staticmethod
     def call_in_words(args_len: int) -> int:
         return (args_len + 31) // 32
 
-    def call_out_words(self, pre_id: int, args_len: int) -> int:
-        return (self.call_out_len(pre_id, args_len) + 31) // 32
+    def call_out_words(self, pre_id: int, args_len: int, ret_len: int = 0) -> int:
+        return (self.call_out_len(pre_id, args_len, ret_len) + 31) // 32
 
     @property
     def n_calldata_words(self) -> int:
@@ -372,9 +382,9 @@ class EvmShape:
         # per precompile call: input words then output words
         lay["calls"] = at
         lay["call_words"] = [None] * len(self.call_shapes)
-        for i, (_op, pid, alen, _rlen) in enumerate(self.call_shapes):
+        for i, (_op, pid, alen, rlen) in enumerate(self.call_shapes):
             lay["call_words"][i] = at
-            at += self.call_in_words(alen) + self.call_out_words(pid, alen)
+            at += self.call_in_words(alen) + self.call_out_words(pid, alen, rlen)
         lay["logs"] = at
         lay["log_words"] = [None] * len(self.log_shapes)
         for i, (nt, dl) in enumerate(self.log_shapes):
@@ -769,7 +779,182 @@ def _run_precompile(pre_id: int, data: bytes) -> bytes:
         return b"\0" * 12 + h
     if pre_id == 4:
         return data
+    if pre_id == 5:  # modexp (EIP-198/2565)
+        bsize, esize, msize = _modexp_sizes(data)
+        body = data[96:]
+        b_ = int.from_bytes(body[:bsize], "big")
+        e_ = int.from_bytes(body[bsize : bsize + esize], "big")
+        m_ = int.from_bytes(body[bsize + esize : bsize + esize + msize], "big")
+        if msize == 0:
+            return b""
+        out = pow(b_, e_, m_) if m_ else 0
+        return out.to_bytes(msize, "big")
+    if pre_id == 6:  # alt_bn128 G1 add (EIP-196)
+        buf = data.ljust(128, b"\0")[:128]
+        p1 = _bn128_point(buf[:64])
+        p2 = _bn128_point(buf[64:128])
+        x, y = _bn128_add(p1, p2)
+        return x.to_bytes(32, "big") + y.to_bytes(32, "big")
+    if pre_id == 7:  # alt_bn128 G1 scalar mul (EIP-196)
+        buf = data.ljust(96, b"\0")[:96]
+        p1 = _bn128_point(buf[:64])
+        k = int.from_bytes(buf[64:96], "big")
+        x, y = _bn128_mul(p1, k)
+        return x.to_bytes(32, "big") + y.to_bytes(32, "big")
+    if pre_id == 9:  # blake2f (EIP-152)
+        if len(data) != 213:
+            raise Unsupported("blake2f input must be exactly 213 bytes")
+        if data[212] not in (0, 1):
+            raise Unsupported("blake2f final flag must be 0 or 1")
+        rounds = int.from_bytes(data[:4], "big")
+        if rounds > 1 << 16:
+            # row-budget envelope guard (consensus allows any u32; a
+            # 2^16-round call costs 65k gas, ample for real traffic)
+            raise Unsupported("blake2f rounds > 2^16 outside the envelope")
+        h = [int.from_bytes(data[4 + 8 * i : 12 + 8 * i], "little") for i in range(8)]
+        m = [int.from_bytes(data[68 + 8 * i : 76 + 8 * i], "little") for i in range(16)]
+        t = [
+            int.from_bytes(data[196:204], "little"),
+            int.from_bytes(data[204:212], "little"),
+        ]
+        out = _blake2f(rounds, h, m, t, data[212] == 1)
+        return b"".join(v.to_bytes(8, "little") for v in out)
     raise Unsupported(f"precompile {pre_id} not supported")
+
+
+# -- precompile 5-9 helpers -----------------------------------------------------
+
+# alt_bn128 base field (EIP-196)
+_BN_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+
+def _modexp_sizes(data: bytes):
+    hdr = data.ljust(96, b"\0")
+    bsize = int.from_bytes(hdr[:32], "big")
+    esize = int.from_bytes(hdr[32:64], "big")
+    msize = int.from_bytes(hdr[64:96], "big")
+    if bsize > 64 or esize > 64 or msize > 64:
+        # the 256-byte call-args envelope caps real inputs anyway; huge
+        # declared sizes are gas-griefing calls outside the envelope
+        raise Unsupported("modexp operand size > 64 bytes")
+    return bsize, esize, msize
+
+
+def modexp_gas(data: bytes) -> int:
+    """EIP-2565 pricing (replayed by the verifier via the shared host
+    generator)."""
+    bsize, esize, msize = _modexp_sizes(data)
+    body = data[96:]
+    ehead = int.from_bytes(body[bsize : bsize + min(esize, 32)], "big")
+    words = (max(bsize, msize) + 7) // 8
+    mult = words * words
+    if esize <= 32:
+        it = max(ehead.bit_length() - 1, 0)
+    else:
+        it = 8 * (esize - 32) + max(ehead.bit_length() - 1, 0)
+    return max(200, mult * max(it, 1) // 3)
+
+
+def _bn128_point(buf: bytes):
+    x = int.from_bytes(buf[:32], "big")
+    y = int.from_bytes(buf[32:64], "big")
+    if x >= _BN_P or y >= _BN_P:
+        raise Unsupported("bn128 coordinate >= field modulus")
+    if x == 0 and y == 0:
+        return None  # point at infinity
+    if (y * y - x * x * x - 3) % _BN_P != 0:
+        raise Unsupported("bn128 point not on curve")
+    return (x, y)
+
+
+def _bn128_add(p1, p2):
+    if p1 is None:
+        return p2 or (0, 0)
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and (y1 + y2) % _BN_P == 0:
+        return (0, 0)
+    if p1 == p2:
+        lam = 3 * x1 * x1 * pow(2 * y1, _BN_P - 2, _BN_P) % _BN_P
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, _BN_P - 2, _BN_P) % _BN_P
+    x3 = (lam * lam - x1 - x2) % _BN_P
+    y3 = (lam * (x1 - x3) - y1) % _BN_P
+    return (x3, y3)
+
+
+def _bn128_mul(p, k: int):
+    acc = None
+    base = p
+    while k:
+        if k & 1:
+            acc = _bn128_add(acc, base) if acc is not None else base
+            if acc == (0, 0):
+                acc = None
+        base = _bn128_add(base, base)
+        if base == (0, 0):
+            base = None
+        k >>= 1
+        if base is None and k:
+            break
+    return acc if acc is not None else (0, 0)
+
+
+_B2_IV = [
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+    0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+    0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+]
+_B2_SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+]
+_M64 = (1 << 64) - 1
+
+
+def _blake2f(rounds: int, h, m, t, final: bool):
+    """The blake2b F compression function (RFC 7693 / EIP-152)."""
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (64 - n))) & _M64
+
+    v = list(h) + list(_B2_IV)
+    v[12] ^= t[0]
+    v[13] ^= t[1]
+    if final:
+        v[14] ^= _M64
+
+    def G(a, b, c, d, x, y):
+        v[a] = (v[a] + v[b] + x) & _M64
+        v[d] = rotr(v[d] ^ v[a], 32)
+        v[c] = (v[c] + v[d]) & _M64
+        v[b] = rotr(v[b] ^ v[c], 24)
+        v[a] = (v[a] + v[b] + y) & _M64
+        v[d] = rotr(v[d] ^ v[a], 16)
+        v[c] = (v[c] + v[d]) & _M64
+        v[b] = rotr(v[b] ^ v[c], 63)
+
+    for r in range(rounds):
+        s = _B2_SIGMA[r % 10]
+        G(0, 4, 8, 12, m[s[0]], m[s[1]])
+        G(1, 5, 9, 13, m[s[2]], m[s[3]])
+        G(2, 6, 10, 14, m[s[4]], m[s[5]])
+        G(3, 7, 11, 15, m[s[6]], m[s[7]])
+        G(0, 5, 10, 15, m[s[8]], m[s[9]])
+        G(1, 6, 11, 12, m[s[10]], m[s[11]])
+        G(2, 7, 8, 13, m[s[12]], m[s[13]])
+        G(3, 4, 9, 14, m[s[14]], m[s[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
 
 
 def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
@@ -807,9 +992,9 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
     # (qop, qarg, qres, qgas) per environment query — patched in EXEC
     pi_words += [0] * (4 * shape.n_queries)
     # per-call input/output words — patched in EXEC
-    for (_op, pid, alen, _rlen) in shape.call_shapes:
+    for (_op, pid, alen, rlen) in shape.call_shapes:
         pi_words += [0] * (
-            shape.call_in_words(alen) + shape.call_out_words(pid, alen)
+            shape.call_in_words(alen) + shape.call_out_words(pid, alen, rlen)
         )
     for nt, dl in shape.log_shapes:
         # topics + data words, patched on LOG
@@ -1399,8 +1584,8 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                 raise Unsupported("precompile args length outside 1..256")
             if args_ofs >= 1 << 32 or ret_ofs >= 1 << 32:
                 raise Unsupported("call memory offset >= 2^32")
-            out_len = shape.call_out_len(addr, args_len)
-            if ret_len not in (0, out_len):
+            out_len = shape.call_out_len(addr, args_len, ret_len)
+            if addr != 5 and ret_len not in (0, out_len):
                 raise Unsupported(
                     "call retLen must be 0 or the output length"
                 )
@@ -1417,15 +1602,29 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             ci = ccount
             cd_calls[r] = 1
             in_words = shape.call_in_words(args_len)
-            out_words = shape.call_out_words(addr, args_len)
+            out_words = shape.call_out_words(addr, args_len, ret_len)
             data = bytes(evm_mem.get(args_ofs + k, 0) for k in range(args_len))
             output = _run_precompile(addr, data)
-            assert len(output) == out_len
+            if len(output) != out_len:
+                # modexp: retLen must equal msize; others cannot differ
+                raise Unsupported(
+                    f"precompile {addr:#x} output {len(output)}B != "
+                    f"declared retLen {out_len}B"
+                )
             # gas: warm account access + precompile cost on the op row;
             # ret-area expansion charges on the CLA row's transition
             wcount = (args_len + 31) // 32
-            pre_cost = {1: 3000, 2: 60 + 12 * wcount, 3: 600 + 120 * wcount,
-                        4: 15 + 3 * wcount}[addr]
+            if addr == 5:
+                pre_cost = modexp_gas(data)  # EIP-2565
+            elif addr == 6:
+                pre_cost = 150  # EIP-1108
+            elif addr == 7:
+                pre_cost = 6000  # EIP-1108
+            elif addr == 9:
+                pre_cost = int.from_bytes(data[:4], "big")  # EIP-152
+            else:
+                pre_cost = {1: 3000, 2: 60 + 12 * wcount,
+                            3: 600 + 120 * wcount, 4: 15 + 3 * wcount}[addr]
             # EIP-150 forwarding: consensus sends min(gasw, 63/64 of the
             # gas remaining after the access + memory-expansion charges);
             # a precompile receiving less than its cost fails with
@@ -2355,10 +2554,12 @@ class EvmStark(Stark):
         call_rlen = [cs_[3] for cs_ in s.call_shapes]
         call_inw = [s.call_in_words(a) for a in call_alen]
         call_outw = [
-            s.call_out_words(p, a) for p, a in zip(call_pid, call_alen)
+            s.call_out_words(p, a, rl)
+            for p, a, rl in zip(call_pid, call_alen, call_rlen)
         ]
         call_outlen = [
-            s.call_out_len(p, a) for p, a in zip(call_pid, call_alen)
+            s.call_out_len(p, a, rl)
+            for p, a, rl in zip(call_pid, call_alen, call_rlen)
         ]
         halted = L(HALTED)
         pc, sp = L(PC), L(SP)

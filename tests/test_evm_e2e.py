@@ -195,3 +195,125 @@ class TestExpCtlMultisets:
         starks = A.all_starks(machine, with_keccak=True)
         problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
         assert problems == [], problems
+
+
+class TestNewPrecompileCtls:
+    """Precompiles 0x05-0x09 (modexp, bn128 add/mul, blake2f) through the
+    PI-bound call directory: result correctness + CTL multiset closure.
+    Golden values are independent (pow(), EIP-196 2G point, the EIP-152
+    RFC 7693 test vector)."""
+
+    SIZES = A.TableSizes(
+        cpu=10, arithmetic=8, logic=9, bytepacking=10, memory=13,
+        keccak=7, keccak_sponge=8,
+    )
+
+    def _check(self, code, expect, log_rows=10):
+        shape, machine, res = build(code, log_rows=log_rows)
+        assert res.success == 1
+        assert res.return_data == expect, (
+            res.return_data.hex(), expect.hex()
+        )
+        traces = make_traces(shape, res, self.SIZES)
+        starks = A.all_starks(machine, with_keccak=True)
+        problems = ctl_multisets_ok(starks, traces, A.build_ctls_evm(machine))
+        assert problems == [], problems
+
+    def test_modexp(self):
+        # 3^5 mod 7 with 32-byte operands; retLen pinned to msize
+        stores = []
+        for i, w in enumerate((32, 32, 32, 3, 5, 7)):
+            stores += [("push", w), ("push", 32 * i), E.MSTORE]
+        code = E.asm(
+            *stores,
+            ("push", 32), ("push", 192), ("push", 192), ("push", 0),
+            ("push", 5), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 32), ("push", 192), E.RETURN,
+        )
+        self._check(code, pow(3, 5, 7).to_bytes(32, "big"))
+
+    def test_bn128_add(self):
+        # G + G = 2G (generator (1, 2))
+        two_g = (
+            0x030644E72E131A029B85045B68181585D97816A916871CA8D3C208C16D87CFD3,
+            0x15ED738C0E0A7C92E7845F96B2AE9C0A68A6A449E3538FC7FF3EBF7A5A18A2C4,
+        )
+        stores = []
+        for i, w in enumerate((1, 2, 1, 2)):
+            stores += [("push", w), ("push", 32 * i), E.MSTORE]
+        code = E.asm(
+            *stores,
+            ("push", 64), ("push", 128), ("push", 128), ("push", 0),
+            ("push", 6), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 64), ("push", 128), E.RETURN,
+        )
+        self._check(
+            code, two_g[0].to_bytes(32, "big") + two_g[1].to_bytes(32, "big")
+        )
+
+    def test_bn128_mul(self):
+        from ethproof_tpu.tables.evm import _bn128_mul
+
+        k = 9
+        x, y = _bn128_mul((1, 2), k)
+        # independent check: 9G by repeated addition
+        from ethproof_tpu.tables.evm import _bn128_add
+
+        acc = None
+        for _ in range(k):
+            acc = _bn128_add(acc, (1, 2)) if acc else (1, 2)
+        assert (x, y) == acc
+        stores = []
+        for i, w in enumerate((1, 2, k)):
+            stores += [("push", w), ("push", 32 * i), E.MSTORE]
+        code = E.asm(
+            *stores,
+            ("push", 64), ("push", 96), ("push", 96), ("push", 0),
+            ("push", 7), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 64), ("push", 96), E.RETURN,
+        )
+        self._check(code, x.to_bytes(32, "big") + y.to_bytes(32, "big"))
+
+    def test_blake2f(self):
+        inp = bytes.fromhex(
+            "0000000c"
+            "48c9bdf267e6096a3ba7ca8485ae67bb2bf894fe72f36e3cf1361d5f3af54fa5"
+            "d182e6ad7f520e511f6c3e2b8c68059b6bbd41fbabd9831f79217e1319cde05b"
+            "6162630000000000000000000000000000000000000000000000000000000000"
+            "0000000000000000000000000000000000000000000000000000000000000000"
+            "0000000000000000000000000000000000000000000000000000000000000000"
+            "0000000000000000000000000000000000000000000000000000000000000000"
+            "0300000000000000"
+            "0000000000000000"
+            "01"
+        )
+        assert len(inp) == 213
+        exp = bytes.fromhex(
+            "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1"
+            "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923"
+        )
+        padded = inp.ljust(224, b"\0")
+        stores = []
+        for i in range(7):
+            stores += [
+                ("push", int.from_bytes(padded[32 * i : 32 * i + 32], "big"), 32),
+                ("push", 32 * i), E.MSTORE,
+            ]
+        code = E.asm(
+            *stores,
+            ("push", 64), ("push", 224), ("push", 213), ("push", 0),
+            ("push", 9), ("push", 50000), E.STATICCALL, E.POP,
+            ("push", 64), ("push", 224), E.RETURN,
+        )
+        self._check(code, exp)
+
+    def test_gas_starved_call_unsupported(self):
+        # forwarding less than the precompile cost must leave the
+        # envelope at generation time, not prove success=1
+        code = E.asm(
+            ("push", 3), ("push", 0), E.MSTORE,
+            ("push", 32), ("push", 32), ("push", 32), ("push", 0),
+            ("push", 2), ("push", 50), E.STATICCALL, E.POP, E.STOP,
+        )
+        with pytest.raises(E.Unsupported):
+            build(code, log_rows=10)
