@@ -484,6 +484,102 @@ def replay(program: IRProgram, ops: FieldOps, inputs: List) -> List:
     return [vals[i] for i in program.outputs]
 
 
+# -- straight-line jitted device replay ----------------------------------------
+
+
+class StraightlineExecutor:
+    """jit of the raw instruction list: one jnp op per instruction, XLA
+    fuses the elementwise chains into a few kernels with near-optimal
+    memory traffic. This is the DEFAULT device backend: the level-batched
+    SweepExecutor's per-level gather/concat of the whole live frontier
+    costs O(levels * live * m) HBM traffic, which at production domains
+    dwarfs its dispatch savings (measured: hours vs minutes on a 2^18
+    domain, CPU). The SweepExecutor remains for programs too large to
+    trace into one XLA graph (ETHPROOF_IR_JIT_MAX instructions)."""
+
+    def __init__(self, program: IRProgram):
+        self.program = program
+        self._jitted = None
+
+    def _run(self, head_lo, head_hi, scal_lo, scal_hi, tail_lo, tail_hi):
+        import jax.numpy as jnp
+
+        from ..gf import field as gfp
+        from ..gf.field import GF
+
+        pr = self.program
+        n_head = sum(1 for k in pr.input_keys if k[0] in ("tl", "tn", "fl", "fn", "al", "an"))
+        n_scal = scal_lo.shape[0]
+        vals: List = []
+        hi = si = ti = 0
+        for key in pr.input_keys:
+            if key[0] in ("tl", "tn", "fl", "fn", "al", "an"):
+                vals.append(GF(head_lo[hi], head_hi[hi]))
+                hi += 1
+            elif len(key) == 1:  # zlast / lfirst / llast
+                vals.append(GF(tail_lo[ti], tail_hi[ti]))
+                ti += 1
+            else:  # transcript scalar, broadcast lazily as (1,)
+                vals.append(GF(scal_lo[si : si + 1], scal_hi[si : si + 1]))
+                si += 1
+        assert hi == n_head and si == n_scal and ti == tail_lo.shape[0]
+
+        def konst(v):
+            return GF(
+                jnp.full((1,), v & 0xFFFFFFFF, dtype=jnp.uint32),
+                jnp.full((1,), v >> 32, dtype=jnp.uint32),
+            )
+
+        for op, a, bimm in pr.instrs:
+            if op == OP_ADD:
+                vals.append(gfp.add(vals[a], vals[bimm]))
+            elif op == OP_SUB:
+                vals.append(gfp.sub(vals[a], vals[bimm]))
+            elif op == OP_MUL:
+                vals.append(gfp.mul(vals[a], vals[bimm]))
+            elif op == OP_ADDC:
+                vals.append(gfp.add(vals[a], konst(bimm)))
+            elif op == OP_SUBC:
+                vals.append(gfp.sub(vals[a], konst(bimm)))
+            elif op == OP_RSUBC:
+                vals.append(gfp.sub(konst(bimm), vals[a]))
+            elif op == OP_MULC:
+                vals.append(gfp.mul(vals[a], konst(bimm)))
+            else:  # OP_CONST
+                vals.append(konst(bimm))
+        m = head_lo.shape[-1]
+        outs = [vals[i] for i in pr.outputs]
+        return (
+            jnp.stack([jnp.broadcast_to(o.lo, (m,)) for o in outs]),
+            jnp.stack([jnp.broadcast_to(o.hi, (m,)) for o in outs]),
+        )
+
+    def run(self, head_gf, scal_gf, tail_gf, jit: bool = True):
+        args = (
+            head_gf.lo, head_gf.hi, scal_gf.lo, scal_gf.hi,
+            tail_gf.lo, tail_gf.hi,
+        )
+        if jit:
+            if self._jitted is None:
+                import jax
+
+                self._jitted = jax.jit(self._run)
+            return self._jitted(*args)
+        return self._run(*args)
+
+
+def device_executor(program: IRProgram):
+    """StraightlineExecutor for programs that fit one XLA graph (the
+    common case), SweepExecutor beyond ETHPROOF_IR_JIT_MAX instructions
+    (default 60000 — the 390-column EVM machine's ~22.5k fits)."""
+    import os
+
+    cap = int(os.environ.get("ETHPROOF_IR_JIT_MAX", "60000"))
+    if len(program.instrs) <= cap:
+        return StraightlineExecutor(program)
+    return SweepExecutor(program)
+
+
 # -- level-batched device executor ---------------------------------------------
 
 

@@ -595,7 +595,7 @@ def _ir_sweep(stark, specs, trace_lde, fixed_lde, aux_lde, scalars,
     gammas + totals, in the IR input order. Executors cache on the stark
     instance keyed by STRUCTURE only — one recording serves every shape
     and every proof (jax.jit re-specializes per input shape)."""
-    from .ir import SweepExecutor, sweep_program
+    from .ir import device_executor, sweep_program
 
     cache = stark.__dict__.setdefault("_ir_exec_cache", {})
     key = (
@@ -608,7 +608,7 @@ def _ir_sweep(stark, specs, trace_lde, fixed_lde, aux_lde, scalars,
             stark, specs, num_challenges, n_lookup_alphas,
             aux_lde is not None,
         )
-        ex = SweepExecutor(prog)
+        ex = device_executor(prog)
         cache[key] = ex
     rate = 1 << rate_bits
     parts = [trace_lde, _roll_cols(trace_lde, rate)]
