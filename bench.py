@@ -92,24 +92,60 @@ def _rand_batch(log_n: int, cols: int):
     return gfp.from_u64(vals)
 
 
-def bench_proof_phases() -> None:
-    """Per-phase wall-clock of one full transfer proof on this chip."""
+def bench_proof_phases() -> dict:
+    """Per-phase wall-clock of one full transfer proof on this chip.
+    Returns {"proof_prove_s", "proof_verify_s", "proof_ok",
+    "proof_phases_s": {...}} — the engine-phase breakdown recorded by
+    stark_prove's tracing.phase() accumulators (BASELINE.md north-star
+    metric #1's per-phase evidence). Runs the proof TWICE and reports
+    the warm pass so one-off XLA compiles don't masquerade as engine
+    time (the cold pass is logged to stderr)."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from test_transfer_e2e import CFG, SIZES, make_transfer_witness
 
     from ethproof_tpu.evm.transfer import prove_transfer, verify_transfer
-    from ethproof_tpu.runtime.tracing import init_tracing
+    from ethproof_tpu.runtime import tracing
 
-    init_tracing("info")  # per-phase spans -> stderr
+    tracing.init_tracing("info")  # per-phase spans -> stderr
+    # default workload: the deploy unit's FLOOR envelope (Memory 2^17,
+    # Arithmetic 2^16 — reference deploy/paladin-worker@.service:28-34)
+    # at the production STARK config; ETHPROOF_BENCH_PROOF_FLOOR=0 drops
+    # to the tiny test config for smoke runs.
+    if os.environ.get("ETHPROOF_BENCH_PROOF_FLOOR", "1") == "1":
+        from ethproof_tpu.fri.config import standard_fast_config
+        from ethproof_tpu.tables.all import TableSizes
+
+        cfg = standard_fast_config()
+        sizes = TableSizes(
+            cpu=12, arithmetic=16, logic=12, bytepacking=9, memory=17,
+            keccak=None,
+        )
+        workload = "transfer@floor(mem=2^17,arith=2^16,standard_fast)"
+    else:
+        cfg, sizes = CFG, SIZES
+        workload = "transfer@tiny(test config)"
     gi = make_transfer_witness()
     t0 = time.time()
-    proof = prove_transfer(gi, CFG, SIZES)
+    prove_transfer(gi, cfg, sizes)
+    _log(f"{workload} proof (cold): {time.time() - t0:.1f}s")
+    tracing.PHASE_TIMES.clear()
+    t0 = time.time()
+    proof = prove_transfer(gi, cfg, sizes)
     t1 = time.time()
-    ok = verify_transfer(proof, CFG)
+    ok = verify_transfer(proof, cfg)
+    t2 = time.time()
+    phases = {k: round(v, 3) for k, v in tracing.PHASE_TIMES.items()}
     _log(
-        f"transfer proof: prove={t1 - t0:.1f}s "
-        f"verify={time.time() - t1:.1f}s ok={ok}"
+        f"{workload} proof (warm): prove={t1 - t0:.1f}s "
+        f"verify={t2 - t1:.1f}s ok={ok} phases={phases}"
     )
+    return {
+        "proof_workload": workload,
+        "proof_prove_s": round(t1 - t0, 3),
+        "proof_verify_s": round(t2 - t1, 3),
+        "proof_ok": bool(ok),
+        "proof_phases_s": phases,
+    }
 
 
 def main() -> None:
@@ -127,6 +163,11 @@ def main() -> None:
     # default = headline only: the ladder pays a cold remote-compile per
     # point (minutes) and belongs to explicit `full` runs
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    if mode == "proof-child":
+        # subprocess worker for the in-run proof bench (own process so
+        # the parent can enforce a wall-clock budget on tunnel hangs)
+        print(json.dumps(bench_proof_phases()), flush=True)
+        return
     # Device-init watchdog: the tunneled TPU backend can hang for tens of
     # minutes (blocked in C++, so in-process alarms cannot interrupt it)
     # before raising UNAVAILABLE when the tunnel is down. Probe init in a
@@ -205,6 +246,38 @@ def main() -> None:
         except Exception as e:  # HBM limits / tunnel flakes
             _log(f"mxu 1x2^28: skipped ({e})")
 
+    # full-proof wall-clock + per-phase breakdown (north-star metric #1
+    # evidence): run in a budgeted subprocess so a cold compile storm or
+    # tunnel hang cannot take down the headline metric
+    proof_info = {}
+    if os.environ.get("ETHPROOF_BENCH_SKIP_PROOF") != "1" and not cpu_fallback:
+        budget = int(os.environ.get("ETHPROOF_BENCH_PROOF_TIMEOUT", "3000"))
+
+        def _run_child(floor: str, t: int) -> dict:
+            env = dict(os.environ, ETHPROOF_BENCH_PROOF_FLOOR=floor)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "proof-child"],
+                    timeout=t, capture_output=True, text=True, env=env,
+                )
+            except subprocess.TimeoutExpired:
+                _log(f"proof bench (floor={floor}) exceeded {t}s")
+                return {}
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except Exception:
+                    continue
+            _log(f"proof bench (floor={floor}) produced no JSON; stderr "
+                 f"tail: {r.stderr[-400:]}")
+            return {}
+
+        proof_info = _run_child("1", budget)
+        if not proof_info:
+            # tunnel compile storms can blow the floor budget; a tiny-
+            # config proof still captures the pipeline wall-clock
+            proof_info = _run_child("0", budget // 2)
+
     head_frac = _mxu_fraction(head_mxu / 1e9, H_LOGN) if not cpu_fallback else None
     print(
         json.dumps(
@@ -228,6 +301,7 @@ def main() -> None:
                 "ntt_1x2^28_mxu_peak_fraction": (
                     round(ns_frac, 3) if ns_frac is not None else None
                 ),
+                **proof_info,
             }
         ),
         flush=True,
@@ -243,7 +317,7 @@ def main() -> None:
                 _log(f"mxu {cols}x2^{log_n}: skipped ({e})")
     elif mode == "proof":
         try:
-            bench_proof_phases()
+            _log(json.dumps(bench_proof_phases()))
         except Exception as e:
             _log(f"proof bench failed: {e}")
 

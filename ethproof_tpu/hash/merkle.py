@@ -51,11 +51,44 @@ def hash_leaves(rows: GF) -> GF:
     return poseidon.tree_digest(rows)
 
 
+# leaf-digest block budget (elements of the (L, n) leaf matrix per
+# block): Poseidon's unrolled rounds over the whole batch generate
+# O(L*n) HLO temps — at a production LDE (100+ cols x 2^18) that
+# exceeds a 16 GB chip's HBM, so leaves hash in sequential domain
+# blocks (lax.map) once the matrix passes this budget. Interior levels
+# are 4 rows wide and never need blocking.
+import os as _os
+
+_LEAF_BLOCK_ELEMS = int(
+    _os.environ.get("ETHPROOF_MERKLE_BLOCK", str(1 << 22))
+)
+
+
+def _leaf_digests(rows: GF) -> GF:
+    L, n = rows.lo.shape
+    nblk = 1
+    while L * (n // nblk) > _LEAF_BLOCK_ELEMS and (n // nblk) > 1:
+        nblk *= 2
+    if nblk <= 1:
+        return poseidon._tree_digest_impl(rows)
+    m = n // nblk
+    lo_b = rows.lo.reshape(L, nblk, m).transpose(1, 0, 2)
+    hi_b = rows.hi.reshape(L, nblk, m).transpose(1, 0, 2)
+    d = jax.lax.map(
+        lambda c: poseidon._tree_digest_impl(GF(c[0], c[1])), (lo_b, hi_b)
+    )
+    # (nblk, 4, m) -> (4, n); blocks are contiguous domain slices
+    return GF(
+        d.lo.transpose(1, 0, 2).reshape(4, n),
+        d.hi.transpose(1, 0, 2).reshape(4, n),
+    )
+
+
 @partial(jax.jit, static_argnums=1)
 def _build_levels(rows: GF, cap_height: int):
     n = rows.lo.shape[1]
     depth = n.bit_length() - 1
-    digests = poseidon._tree_digest_impl(rows)
+    digests = _leaf_digests(rows)
     levels = [digests]
     for _ in range(depth - cap_height):
         left = GF(digests.lo[:, 0::2], digests.hi[:, 0::2])

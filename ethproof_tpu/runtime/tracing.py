@@ -38,3 +38,21 @@ def span(name: str, **fields):
         yield
     finally:
         logger.info("%s close time.busy=%.3fs %s", name, time.perf_counter() - t0, extra)
+
+
+# Machine-readable per-phase accumulator (bench.py proof phases). Wall
+# clock between phase boundaries; JAX dispatch is async, so a phase's
+# time is attributed at its first host sync (each stark_prove phase ends
+# in one — caps/openings cross to host). Cleared by the caller.
+PHASE_TIMES: dict = {}
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        PHASE_TIMES[name] = (
+            PHASE_TIMES.get(name, 0.0) + time.perf_counter() - t0
+        )

@@ -490,15 +490,16 @@ def replay(program: IRProgram, ops: FieldOps, inputs: List) -> List:
 class StraightlineExecutor:
     """jit of the raw instruction list: one jnp op per instruction, XLA
     fuses the elementwise chains into a few kernels with near-optimal
-    memory traffic. This is the DEFAULT device backend: the level-batched
-    SweepExecutor's per-level gather/concat of the whole live frontier
-    costs O(levels * live * m) HBM traffic, which at production domains
-    dwarfs its dispatch savings (measured: hours vs minutes on a 2^18
-    domain, CPU). The SweepExecutor remains for programs too large to
-    trace into one XLA graph (ETHPROOF_IR_JIT_MAX instructions)."""
+    memory traffic — the best steady-state backend, but its COMPILE cost
+    scales with program size: the ~22.5k-instruction EVM/recursion machine
+    program is a 40+ minute XLA:CPU compile (round-4 verdict #1), so it is
+    only sane when one compile amortizes over many proofs. Backend choice
+    lives in `_backend_choice`; by default straightline is used only for
+    small programs (<= ETHPROOF_IR_STRAIGHTLINE_MAX instructions)."""
 
     def __init__(self, program: IRProgram):
         self.program = program
+        self.default_jit = True
         self._jitted = None
 
     def _run(self, head_lo, head_hi, scal_lo, scal_hi, tail_lo, tail_hi):
@@ -554,7 +555,9 @@ class StraightlineExecutor:
             jnp.stack([jnp.broadcast_to(o.hi, (m,)) for o in outs]),
         )
 
-    def run(self, head_gf, scal_gf, tail_gf, jit: bool = True):
+    def run(self, head_gf, scal_gf, tail_gf, jit: Optional[bool] = None):
+        if jit is None:
+            jit = self.default_jit
         args = (
             head_gf.lo, head_gf.hi, scal_gf.lo, scal_gf.hi,
             tail_gf.lo, tail_gf.hi,
@@ -568,16 +571,68 @@ class StraightlineExecutor:
         return self._run(*args)
 
 
-def device_executor(program: IRProgram):
-    """StraightlineExecutor for programs that fit one XLA graph (the
-    common case), SweepExecutor beyond ETHPROOF_IR_JIT_MAX instructions
-    (default 60000 — the 390-column EVM machine's ~22.5k fits)."""
+def backend_env() -> Tuple:
+    """The env state that determines `_backend_choice` — callers caching
+    executors must key on this so a mid-process env flip re-selects."""
     import os
 
-    cap = int(os.environ.get("ETHPROOF_IR_JIT_MAX", "60000"))
-    if len(program.instrs) <= cap:
-        return StraightlineExecutor(program)
-    return SweepExecutor(program)
+    return (
+        os.environ.get("ETHPROOF_JIT_SWEEP", ""),
+        os.environ.get("ETHPROOF_IR_BACKEND", "auto"),
+        os.environ.get("ETHPROOF_IR_STRAIGHTLINE_MAX", ""),
+    )
+
+
+def _backend_choice(n_instrs: int) -> Tuple[str, bool]:
+    """(backend, jit) for a program of `n_instrs` instructions.
+
+    ETHPROOF_IR_BACKEND:
+      straightline — jit the raw instruction list (fastest steady-state;
+          compile cost grows with program size — the ~22.5k-instr EVM
+          machine is a 40+ min XLA:CPU compile, round-4 verdict #1)
+      level — level-batched SweepExecutor, jitted: a few-hundred-op XLA
+          graph, BUT the unrolled per-level buffers defeat XLA's
+          allocation reuse (a 22.5k-instr program plans ~31 GB of HLO
+          temps — OOMs a 16 GB chip; measured round 5)
+      eager — level-batched, never jitted: ZERO compile cost and
+          bounded live memory, a few hundred dispatches per sweep
+      auto (default) — straightline-jit for small programs (cheap
+          compile, best steady-state; threshold
+          ETHPROOF_IR_STRAIGHTLINE_MAX, default 3000), EAGER level
+          replay beyond it: both jitted forms are pathological at the
+          large-program scale, each in its own way
+
+    Legacy ETHPROOF_JIT_SWEEP=never (tests/conftest.py, dryrun) forces
+    eager for every size: one-shot proofs must never pay a sweep
+    compile."""
+    import os
+
+    if os.environ.get("ETHPROOF_JIT_SWEEP", "") == "never":
+        return ("level", False)
+    be = os.environ.get("ETHPROOF_IR_BACKEND", "auto")
+    if be == "eager":
+        return ("level", False)
+    if be == "level":
+        return ("level", True)
+    if be == "straightline":
+        return ("straightline", True)
+    cap = int(os.environ.get("ETHPROOF_IR_STRAIGHTLINE_MAX", "3000"))
+    if n_instrs <= cap:
+        return ("straightline", True)
+    return ("level", False)
+
+
+def device_executor(program: IRProgram):
+    """Build the device executor `_backend_choice` selects for this
+    program's size and the current env (see its docstring)."""
+    backend, jit = _backend_choice(len(program.instrs))
+    ex = (
+        StraightlineExecutor(program)
+        if backend == "straightline"
+        else SweepExecutor(program)
+    )
+    ex.default_jit = jit
+    return ex
 
 
 # -- level-batched device executor ---------------------------------------------
@@ -608,6 +663,7 @@ class SweepExecutor:
 
     def __init__(self, program: IRProgram):
         self.program = program
+        self.default_jit = True
         self._plan()
         self._jitted = None
 
@@ -672,10 +728,18 @@ class SweepExecutor:
             live = new_live
             pos = {r: j for j, r in enumerate(live)}
         self.out_pos = np.array([pos[i] for i in pr.outputs], dtype=np.int32)
-        self.max_live = max(
-            (len(lvl.keep) + sum(len(g.a_pos) for g in lvl.groups) for lvl in self.levels),
-            default=n_in,
-        ) + n_in
+        # peak live rows (inputs + widest level frontier): with the
+        # domain length this bounds the executor's working set — the
+        # arithmetic table's deferred-term frontier is ~6k rows, a ~25 GB
+        # buffer at a 2^18 domain (measured round 5; the OOM behind both
+        # the jitted-level HLO plan and the eager runtime spike)
+        self.peak_rows = n_in + max(
+            (
+                len(lvl.keep) + sum(len(g.a_pos) for g in lvl.groups)
+                for lvl in self.levels
+            ),
+            default=0,
+        )
 
     # -- execution -------------------------------------------------------------
 
@@ -749,17 +813,49 @@ class SweepExecutor:
             jnp.take(buf.hi, self.out_pos, axis=0),
         )
 
-    def run(self, head_gf, scal_gf, tail_gf, jit: bool = True):
+    def run(self, head_gf, scal_gf, tail_gf, jit: Optional[bool] = None):
         """head (n_vec, m) + scal (n_scal,) + tail (3, m), concatenated in
-        input_keys order on device. -> (acc_lo, acc_hi) stacked per alpha."""
-        args = (
-            head_gf.lo, head_gf.hi, scal_gf.lo, scal_gf.hi,
-            tail_gf.lo, tail_gf.hi,
-        )
+        input_keys order on device. -> (acc_lo, acc_hi) stacked per alpha.
+
+        Every op is POINTWISE in the domain, so when the working set
+        (peak_rows x m) exceeds ETHPROOF_SWEEP_BUDGET elements (default
+        2^28 ~ 2 GB of u32 pairs) the domain runs in power-of-two
+        chunks — same chunk shape every time, so a jitted executor still
+        compiles once."""
+        import os
+
+        import jax.numpy as jnp
+
+        if jit is None:
+            jit = self.default_jit
+        fn = self._run
         if jit:
             if self._jitted is None:
                 import jax
 
                 self._jitted = jax.jit(self._run)
-            return self._jitted(*args)
-        return self._run(*args)
+            fn = self._jitted
+        m = head_gf.lo.shape[-1]
+        budget = int(os.environ.get("ETHPROOF_SWEEP_BUDGET", str(1 << 28)))
+        nchunks = 1
+        while self.peak_rows * (m // nchunks) > budget and (m // nchunks) > 1:
+            nchunks *= 2
+        if nchunks == 1:
+            return fn(
+                head_gf.lo, head_gf.hi, scal_gf.lo, scal_gf.hi,
+                tail_gf.lo, tail_gf.hi,
+            )
+        c = m // nchunks
+        outs_lo, outs_hi = [], []
+        for i in range(nchunks):
+            sl = slice(i * c, (i + 1) * c)
+            lo, hi = fn(
+                head_gf.lo[:, sl], head_gf.hi[:, sl], scal_gf.lo,
+                scal_gf.hi, tail_gf.lo[:, sl], tail_gf.hi[:, sl],
+            )
+            outs_lo.append(lo)
+            outs_hi.append(hi)
+        return (
+            jnp.concatenate(outs_lo, axis=-1),
+            jnp.concatenate(outs_hi, axis=-1),
+        )
