@@ -111,59 +111,212 @@ class ContractCallProof:
     cb_pi: Optional[List[int]] = None
     cb_n_slots: int = 0
     cb_kshape: Optional[object] = None  # binding.KernelShape
+    # inner call frames (tx-global completion order): each one a full
+    # machine proof of the callee's own EvmShape; the outer frame's
+    # per-call PI directory ([addr, gas, refund] + input/output words)
+    # is linked to these statements by the verifier's witness replay
+    inner_frames: List["InnerFrameProof"] = None
 
     @property
     def pi_words(self) -> List[int]:
         """Statement words (tx_statement_digest input) — the machine PI."""
         return self.machine_pi
 
+
+@dataclass
+class InnerFrameProof:
+    """Machine proof of one inner call frame (callee's own shape)."""
+
+    address: bytes
+    shape: E.EvmShape
+    machine_pi: List[int]
+    multi: Optional[MultiProof] = None
+    # succinct mode: a root machine proof subsumes `multi`
+    root_proof: Optional[object] = None  # recursion.wrap.MachineProof
+
 DEFAULT_LOG_ROWS = 10
 
+# inner-frame envelope bounds (documented; Unsupported beyond them)
+MAX_FRAME_DEPTH = 4
 
-def machine_inputs_for_tx(
-    gi: GenerationInputs, log_rows: int = 10
-) -> Tuple[E.EvmShape, E.EvmInputs, "E.EvmResult"]:
-    """Decode the tx, discover touched slots, run the machine host
-    interpreter. -> (shape, inputs, result)."""
-    tx = decode_tx(gi.signed_txn)
-    assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
-        "EIP-155 chain id mismatch"
+
+@dataclass
+class FrameRun:
+    """One resolved inner call frame (host execution artifacts)."""
+
+    address: bytes
+    shape: E.EvmShape
+    inputs: E.EvmInputs
+    result: "E.EvmResult"
+
+
+def _slot_warm_pre(tx, addr_b: bytes) -> Tuple[int, ...]:
+    """EIP-2929 access-list pre-warmed storage keys for one address."""
+    return tuple(
+        int.from_bytes(k, "big")
+        for a, keys in tx.access_list
+        if a == addr_b
+        for k in keys
     )
-    assert len(tx.to) == 20, "contract creation unsupported"
-    sender = tx.sender()
-    acct_raw = gi.tries.state_trie.get(_acct_key(tx.to))
-    assert acct_raw is not None, "callee account missing from witness"
-    acct = decode_account(acct_raw)
-    if acct["code_hash"] == EMPTY_CODE_HASH:
-        raise E.Unsupported("callee has no code (plain transfer)")
-    code = gi.contract_code.get(acct["code_hash"])
+
+
+def _account_code(gi: GenerationInputs, addr_b: bytes):
+    """(code bytes | None) for an address: None = no code (EOA/empty)."""
+    raw = gi.tries.state_trie.get(_acct_key(addr_b))
+    if raw is None:
+        return None
+    ch = decode_account(raw)["code_hash"]
+    if ch == EMPTY_CODE_HASH:
+        return None
+    code = gi.contract_code.get(ch)
     assert code is not None, "callee code missing from contract_code"
-    hashed_addr = keccak256(tx.to)
-    strie = _storage_trie(gi, hashed_addr)
+    return code
+
+
+def _discover_frame(
+    gi, tx, env_base, code, calldata, caller, callvalue, addr_b,
+    gas_budget, warm_addrs, log_rows, seen, frames_out, depth, log_sink,
+):
+    """Converged (shape, inputs, result) for ONE frame, recursively
+    resolving its inner calls. Appends sub-frames in tx-global
+    completion order to `frames_out` exactly once (per-attempt local
+    lists are discarded on discovery re-runs)."""
+    strie = _storage_trie(gi, keccak256(addr_b))
 
     def slot_pre(slot: int) -> int:
         if strie is None:
             return 0
         return _decode_slot_value(strie.get(_slot_key(slot)))
 
-    # EIP-2929: access-list keys for the callee are pre-warmed
-    warm_pre = tuple(
-        int.from_bytes(k, "big")
-        for addr, keys in tx.access_list
-        if addr == tx.to
-        for k in keys
-    )
     storage_pre: Dict[int, int] = {}
-    caller = int.from_bytes(sender, "big")
-    env = tx_env_words(gi, tx, caller)
+    log_shapes: list = []
+    call_shapes: list = []
+    n_queries = 0
     while True:
-        try:
-            return E.discover_and_execute(
-                code, tx.data, caller, tx.value, storage_pre, log_rows,
-                warm_pre=warm_pre, env=env,
+        attempt_frames: list = []
+        attempt_logs: list = []
+        # one frame per address per tx (a second frame of the same
+        # address would journal against stale pre-state); fresh copy per
+        # attempt so discovery re-runs start clean
+        attempt_seen = set(seen)
+
+        def resolve(a_int, value, data, fwd_gas, warm):
+            callee_b = a_int.to_bytes(20, "big")
+            inner_code = _account_code(gi, callee_b)
+            if inner_code is None:
+                # calls to code-less accounts succeed with empty
+                # returndata; no frame proof is needed (value == 0)
+                return (1, b"", 0, 0, warm)
+            if depth + 1 >= MAX_FRAME_DEPTH:
+                raise E.Unsupported("call frame depth beyond the envelope")
+            if callee_b in attempt_seen:
+                raise E.Unsupported(
+                    "repeated frame address (one frame per address per tx)"
+                )
+            attempt_seen.add(callee_b)
+            fshape, finputs, fres = _discover_frame(
+                gi, tx, env_base, inner_code, data,
+                int.from_bytes(addr_b, "big"), value, callee_b,
+                fwd_gas, warm, log_rows, attempt_seen, attempt_frames,
+                depth + 1, attempt_logs,
             )
+            attempt_frames.append(FrameRun(callee_b, fshape, finputs, fres))
+            # sub-frames of the callee also consumed their addresses
+            attempt_seen.update(fr.address for fr in attempt_frames)
+            warm_post = tuple(
+                sorted(set(warm) | set(fres.warm_addrs_post))
+            )
+            return (
+                fres.success, fres.return_data, fres.gas_used,
+                fres.gas_refund, warm_post,
+            )
+
+        shape = E.EvmShape(
+            code_len=len(code),
+            calldata_len=len(calldata),
+            n_skeys=len(storage_pre),
+            log_rows=log_rows,
+            n_queries=n_queries,
+            call_shapes=tuple(call_shapes),
+            log_shapes=tuple(log_shapes),
+        )
+        inputs = E.EvmInputs(
+            code, calldata, caller, callvalue, dict(storage_pre),
+            warm_pre=_slot_warm_pre(tx, addr_b),
+            address=int.from_bytes(addr_b, "big"),
+            origin=env_base["origin"],
+            gasprice=env_base["gasprice"],
+            coinbase=env_base["coinbase"],
+            timestamp=env_base["timestamp"],
+            number=env_base["number"],
+            gaslimit=env_base["gaslimit"],
+            chainid=env_base["chainid"],
+            basefee=env_base["basefee"],
+            gas_budget=gas_budget,
+            query_resolver=env_base["query_resolver"],
+            warm_addrs=warm_addrs,
+            frame_resolver=resolve,
+            log_sink=attempt_logs,
+        )
+        try:
+            res = E.execute_evm(shape, inputs)
+        except E.UnknownLogShape as miss:
+            assert miss.index == len(log_shapes)
+            log_shapes.append((miss.n_topics, miss.data_len))
+            continue
+        except E.UnknownQueryCount as miss:
+            assert miss.count > n_queries
+            n_queries = miss.count
+            continue
+        except E.UnknownCallShape as miss:
+            if miss.index < len(call_shapes):
+                call_shapes[miss.index] = miss.entry
+            else:
+                assert miss.index == len(call_shapes)
+                call_shapes.append(miss.entry)
+            continue
         except E.UnknownStorageKey as miss:
             storage_pre[miss.key] = slot_pre(miss.key)
+            continue
+        frames_out.extend(attempt_frames)
+        if log_sink is not None:
+            log_sink.extend(attempt_logs)
+        return shape, inputs, res
+
+
+def machine_inputs_for_tx(
+    gi: GenerationInputs,
+    log_rows: int = 10,
+    frames_out: Optional[list] = None,
+    log_sink: Optional[list] = None,
+) -> Tuple[E.EvmShape, E.EvmInputs, "E.EvmResult"]:
+    """Decode the tx, discover touched slots (outer frame AND inner
+    call frames, recursively), run the machine host interpreter.
+    -> (shape, inputs, result) of the OUTER frame; inner frames are
+    appended to `frames_out` (FrameRun, completion order) and the
+    tx-global log order to `log_sink` [(address, topics, data)]."""
+    tx = decode_tx(gi.signed_txn)
+    assert tx.chain_id in (None, gi.block_metadata.block_chain_id), (
+        "EIP-155 chain id mismatch"
+    )
+    assert len(tx.to) == 20, "contract creation unsupported"
+    sender = tx.sender()
+    code = _account_code(gi, tx.to)
+    if code is None:
+        raise E.Unsupported("callee has no code (plain transfer)")
+    caller = int.from_bytes(sender, "big")
+    env = tx_env_words(gi, tx, caller)
+    frames = frames_out if frames_out is not None else []
+    logs = log_sink if log_sink is not None else []
+    frames.clear()
+    logs.clear()
+    seen = {tx.to}
+    shape, inputs, res = _discover_frame(
+        gi, tx, env, code, tx.data, caller, tx.value, tx.to,
+        env["gas_budget"], tuple(env["warm_addrs"]), log_rows,
+        seen, frames, 0, logs,
+    )
+    return shape, inputs, res
 
 
 def tx_env_words(gi: GenerationInputs, tx, caller: int) -> Dict[str, int]:
@@ -281,7 +434,8 @@ def prove_contract_call(
     the envelope; silent host-checked fallback otherwise), None
     (host-checked only), a binding.KernelShape or "require" (in-circuit
     required — Unsupported/CircuitSizeError propagate)."""
-    shape, inputs, res = machine_inputs_for_tx(gi, log_rows)
+    frames: List[FrameRun] = []
+    shape, inputs, res = machine_inputs_for_tx(gi, log_rows, frames_out=frames)
     tx = decode_tx(gi.signed_txn)
     sender = tx.sender()
     miner = gi.block_metadata.block_beneficiary
@@ -289,10 +443,11 @@ def prove_contract_call(
     assert gas_used == consensus_gas_used(gi, res), (
         "witness gas_used diverges from consensus gas accounting"
     )
-    if sizes is None:
-        counts = A.evm_table_counts(shape, res)
-        sizes = A.TableSizes(
-            cpu=shape.log_rows,
+
+    def fit_sizes(shp, rs):
+        counts = A.evm_table_counts(shp, rs)
+        return A.TableSizes(
+            cpu=shp.log_rows,
             arithmetic=16,
             logic=max(counts["logic"] - 1, 1).bit_length(),
             bytepacking=max(9, (counts["bytepacking"] - 1).bit_length()),
@@ -300,8 +455,25 @@ def prove_contract_call(
             keccak=max(5, (counts["keccak"] - 1).bit_length()),
             keccak_sponge=max(8, (counts["keccak_sponge"] - 1).bit_length()),
         )
+
+    frame_sizes = sizes
+    if sizes is None:
+        sizes = fit_sizes(shape, res)
     machine = E.EvmStark(shape)
     proof = A.prove_evm_tables(machine, res, sizes, config)
+    inner = []
+    for fr in frames:
+        fsz = frame_sizes or fit_sizes(fr.shape, fr.result)
+        fmachine = E.EvmStark(fr.shape)
+        fproof = A.prove_evm_tables(fmachine, fr.result, fsz, config)
+        inner.append(
+            InnerFrameProof(
+                address=fr.address,
+                shape=fr.shape,
+                machine_pi=list(fr.result.pi_words),
+                multi=fproof,
+            )
+        )
     cb_multi = cb_pi = cb_kshape = None
     cb_n_slots = 0
     if binding is not None:
@@ -322,6 +494,7 @@ def prove_contract_call(
         cb_pi=cb_pi,
         cb_n_slots=cb_n_slots,
         cb_kshape=cb_kshape,
+        inner_frames=inner,
     )
     assert check_contract_binding(ccp), "witness binding failed"
     return ccp
@@ -472,8 +645,12 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
     from .gas import intrinsic_gas, tx_gas_used
     from ..gf import field_host as fh
 
+    frames_replay: List[FrameRun] = []
+    logs_replay: list = []
     try:
-        _, _, res = machine_inputs_for_tx(gi)
+        _, _, res = machine_inputs_for_tx(
+            gi, frames_out=frames_replay, log_sink=logs_replay
+        )
         if proof.gas_used != gi.gas_used_after - gi.gas_used_before:
             return False
         if proof.gas_used != tx_gas_used(
@@ -486,9 +663,22 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
             return False
         # the full PI vector must equal the witness replay's — this
         # covers the environment-query tuples (BALANCE/EXTCODE*/
-        # BLOCKHASH answers + EIP-2929 account-access gas) verbatim
+        # BLOCKHASH answers + EIP-2929 account-access gas) AND the
+        # per-call directories ([addr, gas, refund] + input/output
+        # words of every precompile and inner-frame call) verbatim
         if list(pi) != list(res.pi_words):
             return False
+        # every inner frame the replay resolves must be present as a
+        # machine proof with the identical shape and statement — this is
+        # the outer-call-directory <-> inner-frame linkage
+        inner = proof.inner_frames or []
+        if len(inner) != len(frames_replay):
+            return False
+        for ip, fr in zip(inner, frames_replay):
+            if ip.address != fr.address or ip.shape != fr.shape:
+                return False
+            if list(ip.machine_pi) != list(fr.result.pi_words):
+                return False
     except Exception:
         return False
     success = pi[lay["success"]]
@@ -533,15 +723,36 @@ def check_contract_binding(proof: ContractCallProof) -> bool:
                 st.insert(_slot_key(k), _encode_slot_value(vpost))
         c_acc["storage_root"] = st.hash()
     put_acct(to, c_acc)
+    # inner frames: apply each callee's PI-journaled storage updates
+    # (frame addresses are unique per tx; outer revert rolls them back)
+    if success:
+        from ..trie.trie import PartialTrie
+
+        for ip in proof.inner_frames or []:
+            if not ip.shape.n_skeys:
+                continue
+            flay = ip.shape.pi_layout
+            ftrie = _storage_trie(gi, keccak256(ip.address))
+            st = ftrie.copy() if ftrie is not None else PartialTrie()
+            for i in range(ip.shape.n_skeys):
+                k = ip.machine_pi[flay["storage"] + 4 * i]
+                vpost = ip.machine_pi[flay["storage"] + 4 * i + 3]
+                if vpost == 0:
+                    st.delete(_slot_key(k))
+                else:
+                    st.insert(_slot_key(k), _encode_slot_value(vpost))
+            f_acc = get_acct(ip.address)
+            f_acc["storage_root"] = st.hash()
+            put_acct(ip.address, f_acc)
     m_acc = get_acct(proof.miner)
     m_acc["balance"] += tip  # EIP-1559: base_fee * gas is burned
     put_acct(proof.miner, m_acc)
     if state.hash() != gi.trie_roots_after.state_root:
         return False
-    # receipts: the machine's PI-bound logs must reproduce the witness
-    # receipts-root transition (skipped if the witness has no receipts
-    # commitment)
-    return check_receipts_binding(proof)
+    # receipts: the PI-bound logs (in tx-global replay order across
+    # frames) must reproduce the witness receipts-root transition
+    # (skipped if the witness has no receipts commitment)
+    return check_receipts_binding(proof, logs_replay)
 
 
 def verify_binding_proof(proof: ContractCallProof, config: StarkConfig) -> bool:
@@ -581,6 +792,15 @@ def verify_contract_call(proof: ContractCallProof, config: StarkConfig) -> bool:
     machine = E.EvmStark(proof.shape)
     if not A.verify_evm_tables(machine, proof.machine_pi, proof.multi, config):
         return False
+    # every inner call frame carries its own machine STARK, verified
+    # against its own shape/statement (linked to the outer frame's call
+    # directory by check_contract_binding's witness replay)
+    for ip in proof.inner_frames or []:
+        if ip.multi is None:
+            return False
+        fmachine = E.EvmStark(ip.shape)
+        if not A.verify_evm_tables(fmachine, ip.machine_pi, ip.multi, config):
+            return False
     if proof.binding_multi is not None:
         if not verify_binding_proof(proof, config):
             return False
@@ -621,14 +841,29 @@ def machine_logs(proof: ContractCallProof):
     return out
 
 
-def expected_receipt(proof: ContractCallProof) -> bytes:
+def expected_receipt(
+    proof: ContractCallProof, global_logs=None
+) -> bytes:
     """Consensus legacy-receipt RLP for this tx, rebuilt from the proof's
-    public log inputs + the witness gas accounting."""
+    public log inputs + the witness gas accounting. `global_logs` is the
+    replay-derived [(address, topics, data)] order across call frames;
+    None falls back to the outer frame's PI-bound logs (single-frame
+    txs, where the two coincide)."""
     from ..trie import rlp
 
     gi = proof.gen_inputs
     success = proof.machine_pi[proof.shape.pi_layout["success"]]
-    logs = machine_logs(proof) if success else []
+    if global_logs is not None:
+        logs = (
+            [(a.to_bytes(20, "big") if isinstance(a, int) else a,
+              [t.to_bytes(32, "big") if isinstance(t, int) else t
+               for t in ts], d)
+             for a, ts, d in global_logs]
+            if success
+            else []
+        )
+    else:
+        logs = machine_logs(proof) if success else []
     entries = []
     for addr, topics, _data in logs:
         entries.append(addr)
@@ -646,7 +881,9 @@ def expected_receipt(proof: ContractCallProof) -> bytes:
     return (bytes([tx.tx_type]) + body) if tx.tx_type else body
 
 
-def check_receipts_binding(proof: ContractCallProof) -> bool:
+def check_receipts_binding(
+    proof: ContractCallProof, global_logs=None
+) -> bool:
     """Insert the rebuilt receipt into the witness receipts trie and
     compare against trie_roots_after.receipts_root. Skipped (True) when
     the witness carries no receipts commitment (all-zero root), matching
@@ -657,9 +894,17 @@ def check_receipts_binding(proof: ContractCallProof) -> bool:
     want = gi.trie_roots_after.receipts_root
     if want == b"\x00" * 32:
         return True
+    if global_logs is None and proof.inner_frames:
+        # multi-frame txs need the tx-global log order from the replay
+        try:
+            sink: list = []
+            machine_inputs_for_tx(gi, log_sink=sink)
+            global_logs = sink
+        except Exception:
+            return False
     rt = gi.tries.receipts_trie.copy()
     rt.insert(
         Nibbles.from_bytes(rlp.encode(rlp.int_to_bytes(gi.txn_number_before))),
-        expected_receipt(proof),
+        expected_receipt(proof, global_logs),
     )
     return rt.hash() == want

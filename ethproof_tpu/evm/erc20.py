@@ -130,6 +130,27 @@ def transfer_runtime() -> bytes:
     ])
 
 
+def router_runtime(token: bytes, fwd_gas: int = 60000) -> bytes:
+    """A forwarding router: copies its calldata into memory, CALLs the
+    token with it (the inner-frame flagship shape: EOA -> router ->
+    ERC-20), requires success, and bubbles up the 32-byte result."""
+    return assemble([
+        # memcpy(0, calldata[0:cds])
+        E.CALLDATASIZE, ("push", 0), ("push", 0), E.CALLDATACOPY,
+        # CALL(gas, token, value=0, args=[0, cds], ret=[0x80, 32])
+        ("push", 32), ("push", 0x80),
+        E.CALLDATASIZE, ("push", 0),
+        ("push", 0),
+        ("push", int.from_bytes(token, "big"), 20),
+        ("push", fwd_gas, 3),
+        E.CALL,
+        ("goto", "ok"), E.JUMPI,
+        ("push", 0), ("push", 0), E.REVERT,
+        ("label", "ok"),
+        ("push", 32), ("push", 0x80), E.RETURN,
+    ])
+
+
 def DUP(n: int) -> int:
     return E.DUP1 + n - 1
 

@@ -88,10 +88,16 @@ is enforced in-circuit (SP decomposition columns).
 
 Documented envelope (host generator raises Unsupported outside it; each
 item is a completeness gap, never a soundness gap):
-  - single EVM call context: no inner frames into CONTRACT code (calls
-    to precompiles 1-4 ARE supported — value must be 0, args length
-    1..256, retLen 0 or the output length, and the precompile must
-    succeed), no DELEGATECALL, no CREATE*, no EXTCODECOPY;
+  - inner CALL/STATICCALL frames into contract code ARE supported:
+    each frame is proved by its OWN machine proof of the callee's
+    shape, linked through the caller's per-call PI directory
+    ([addr, gas, refund] + input/output words; evm/contract.py).
+    Frame envelope: value == 0, args length 1..256, returndata <= 256
+    bytes with retLen <= out_len, the frame must SUCCEED (no reverting
+    inner frames), one frame per address per tx (no re-entrancy),
+    depth < MAX_FRAME_DEPTH. Precompile calls (1-7, 9) need value 0,
+    args 1..256, retLen 0 or the output length, and success. No
+    DELEGATECALL, no CREATE*, no EXTCODECOPY;
   - REVERT halts with success=0 but state rollback is not replayed
     (the outer kernel must not use the journal of a reverted frame);
   - LOG* pops its operands; topics + data bind to per-log public
@@ -155,12 +161,19 @@ DUP1 = 0x80  # DUP1..DUP16
 SWAP1 = 0x90  # SWAP1..SWAP16
 LOG0 = 0xA0  # LOG0..LOG4
 RETURN, REVERT = 0xF3, 0xFD
-CALL, STATICCALL = 0xF1, 0xFA  # precompile targets only (envelope)
+CALL, STATICCALL = 0xF1, 0xFA
 # supported precompiles: 1 = ecrecover, 2 = sha256, 3 = ripemd160,
 # 4 = identity; each succeeds or the witness is Unsupported
 # 0x01..0x09 except 0x08 (bn128 pairing — Fp12 Miller loop, out of the
 # envelope; calls to it are Unsupported, never unsound)
 PRECOMPILES = (1, 2, 3, 4, 5, 6, 7, 9)
+# call_shapes target marker for an inner CONTRACT frame (proved by a
+# separate machine proof of the callee's own EvmShape; the per-call PI
+# directory words [addr, gas, refund] link the two statements)
+FRAME_TARGET = 0
+# precompiles whose gas cost is input-dependent (modexp EIP-2565,
+# blake2f EIP-152): charged via a per-call gas PI word, like frames
+DYNGAS_PRECOMPILES = (5, 9)
 
 # opcode -> (pops, pushes) for the simple selectors
 _BINARITH = {ADD: ar.OP_ADD, MUL: ar.OP_MUL, SUB: ar.OP_SUB, DIV: ar.OP_DIV,
@@ -281,13 +294,19 @@ class EvmShape:
     # every tuple from the witness (state trie / block hashes / EIP-2929
     # address warmth replay). Discovery raises UnknownQueryCount.
     n_queries: int = 0
-    # precompile calls in execution order: (opcode, precompile_id,
-    # args_len, ret_len) per call — opcode is CALL or STATICCALL,
+    # inner calls in execution order: (opcode, target, args_len,
+    # ret_len, out_len) per call — opcode is CALL or STATICCALL, target
+    # a precompile id (1..9) or FRAME_TARGET (0) for a contract frame,
     # args_len the popped input length, ret_len the popped return-area
-    # length (envelope: ret_len in {0, output length}). Each call's
-    # input and output words are public inputs; the verifier replays
-    # the precompile on the input words. Discovery: UnknownCallShape.
-    call_shapes: Tuple[Tuple[int, int, int, int], ...] = ()
+    # length (envelope: precompiles need ret_len in {0, out_len};
+    # frames need ret_len <= out_len), out_len the returned byte
+    # length. Each call's input and output words are public inputs; the
+    # verifier replays precompiles on the input words, and checks a
+    # contract frame's words against the callee frame's own machine
+    # proof (evm/contract.py). Frame entries carry 3 extra directory PI
+    # words [addr, gas, refund]; dyngas precompiles (5, 9) carry 1
+    # [gas]. Discovery: UnknownCallShape.
+    call_shapes: Tuple[Tuple[int, int, int, int, int], ...] = ()
     # emitted LOG events in execution order: (n_topics, data_len) each;
     # topics and ceil(data_len/32) data words per log become public
     # inputs (the receipts-root binding consumes them, evm/contract.py).
@@ -318,8 +337,29 @@ class EvmShape:
     def call_in_words(args_len: int) -> int:
         return (args_len + 31) // 32
 
-    def call_out_words(self, pre_id: int, args_len: int, ret_len: int = 0) -> int:
-        return (self.call_out_len(pre_id, args_len, ret_len) + 31) // 32
+    @staticmethod
+    def call_dir_words(target: int) -> int:
+        """Per-call directory PI words before the input words: frames
+        carry [addr, gas, refund]; dyngas precompiles [gas]."""
+        if target == FRAME_TARGET:
+            return 3
+        return 1 if target in DYNGAS_PRECOMPILES else 0
+
+    @staticmethod
+    def entry_in_words(entry) -> int:
+        return (entry[2] + 31) // 32
+
+    @staticmethod
+    def entry_out_words(entry) -> int:
+        return (entry[4] + 31) // 32
+
+    @staticmethod
+    def entry_words(entry) -> int:
+        return (
+            EvmShape.call_dir_words(entry[1])
+            + EvmShape.entry_in_words(entry)
+            + EvmShape.entry_out_words(entry)
+        )
 
     @property
     def n_calldata_words(self) -> int:
@@ -379,12 +419,12 @@ class EvmShape:
         # (qop, qarg, qres, qgas) per environment query
         lay["queries"] = at
         at += 4 * self.n_queries
-        # per precompile call: input words then output words
+        # per call: directory words, then input words, then output words
         lay["calls"] = at
         lay["call_words"] = [None] * len(self.call_shapes)
-        for i, (_op, pid, alen, rlen) in enumerate(self.call_shapes):
+        for i, entry in enumerate(self.call_shapes):
             lay["call_words"][i] = at
-            at += self.call_in_words(alen) + self.call_out_words(pid, alen, rlen)
+            at += self.entry_words(entry)
         lay["logs"] = at
         lay["log_words"] = [None] * len(self.log_shapes)
         for i, (nt, dl) in enumerate(self.log_shapes):
@@ -644,6 +684,14 @@ class EvmInputs:
     # EIP-2929 pre-warmed ADDRESSES (origin, to, coinbase, precompiles,
     # access-list addresses) for account-access gas
     warm_addrs: Tuple[int, ...] = ()
+    # inner contract-frame resolver: fn(addr, value, data, gas_budget,
+    # warm_addrs_tuple) -> (success, output_bytes, gas_used, refund,
+    # warm_addrs_post) or None (target outside the resolver's scope).
+    # None = calls to non-precompile targets are Unsupported.
+    frame_resolver: object = None
+    # optional shared list collecting (address, topics, data) in
+    # tx-global execution order across call frames (receipts rebuild)
+    log_sink: object = None
 
 
 @dataclass
@@ -661,6 +709,9 @@ class EvmResult:
     return_data: bytes
     gas_used: int = 0  # frame execution gas (evm/gas.py; excl. intrinsic)
     gas_refund: int = 0  # EIP-3529 refund counter (uncapped, pre-revert)
+    # EIP-2929 warm address set at frame exit (threads through nested
+    # call frames back to the caller)
+    warm_addrs_post: Tuple[int, ...] = ()
 
 def _word_limbs(v: int) -> List[int]:
     return int_to_limbs(v)
@@ -991,11 +1042,9 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         pi_words += [k, warm0[k], inputs.storage_pre[k], 0]
     # (qop, qarg, qres, qgas) per environment query — patched in EXEC
     pi_words += [0] * (4 * shape.n_queries)
-    # per-call input/output words — patched in EXEC
-    for (_op, pid, alen, rlen) in shape.call_shapes:
-        pi_words += [0] * (
-            shape.call_in_words(alen) + shape.call_out_words(pid, alen, rlen)
-        )
+    # per-call directory/input/output words — patched in EXEC
+    for entry in shape.call_shapes:
+        pi_words += [0] * shape.entry_words(entry)
     for nt, dl in shape.log_shapes:
         # topics + data words, patched on LOG
         pi_words += [0] * (nt + shape.n_data_words(dl))
@@ -1337,6 +1386,9 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
                     chunk.ljust(32, b"\0"), "big"
                 )
             logs.append((topics, data))
+            if inputs.log_sink is not None:
+                # tx-global log order across call frames (receipts)
+                inputs.log_sink.append((inputs.address, topics, data))
             del stack[-2 - n:]
             if n >= 3:
                 # continuation row reads topics 3/4 and drops the slots
@@ -1573,28 +1625,118 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             args_len = stack[-4 - d]
             ret_ofs = stack[-5 - d]
             ret_len = stack[-6 - d]
-            if addr not in PRECOMPILES:
-                raise Unsupported(
-                    f"inner call target {addr:#x} is not a supported "
-                    "precompile (general frames outside the envelope)"
-                )
+            is_frame = addr not in PRECOMPILES
             if value != 0:
-                raise Unsupported("precompile call with value")
+                raise Unsupported("inner call with value")
             if not (1 <= args_len <= 256):
-                raise Unsupported("precompile args length outside 1..256")
+                raise Unsupported("call args length outside 1..256")
             if args_ofs >= 1 << 32 or ret_ofs >= 1 << 32:
                 raise Unsupported("call memory offset >= 2^32")
-            out_len = shape.call_out_len(addr, args_len, ret_len)
-            if addr != 5 and ret_len not in (0, out_len):
-                raise Unsupported(
-                    "call retLen must be 0 or the output length"
+            from ..evm.gas import memory_cost, words_for
+
+            data = bytes(evm_mem.get(args_ofs + k, 0) for k in range(args_len))
+            new_words = max(
+                meter.mem_words,
+                words_for(args_ofs, args_len),
+                words_for(ret_ofs, ret_len) if ret_len else 0,
+            )
+            mem_delta = memory_cost(new_words) - memory_cost(meter.mem_words)
+            f_refund = 0
+            if is_frame:
+                # inner CONTRACT frame: proved by a separate machine
+                # proof of the callee's own shape; the resolver (the tx
+                # driver, evm/contract.py) executes it recursively and
+                # this frame binds [addr, gas, refund] + input/output
+                # words as its per-call PI directory
+                if inputs.frame_resolver is None:
+                    raise Unsupported(
+                        f"inner call target {addr:#x} is not a supported "
+                        "precompile and no frame resolver is available"
+                    )
+                if inputs.gas_budget <= 0:
+                    raise Unsupported("inner frame call needs a gas budget")
+                acost = 100 if addr in warm_addrs else 2600
+                warm_addrs.add(addr)
+                rem = inputs.gas_budget - meter.used - acost - mem_delta
+                if rem < 0:
+                    raise Unsupported("out of gas at inner call")
+                fwd_cap = min(gasw, rem - rem // 64)  # EIP-150
+                outcome = inputs.frame_resolver(
+                    addr, value, data, fwd_cap, tuple(sorted(warm_addrs))
                 )
-            entry = (op, addr, args_len, ret_len)
+                if outcome is None:
+                    raise Unsupported(
+                        f"inner call target {addr:#x} outside the frame "
+                        "resolver's scope"
+                    )
+                f_success, output, f_gas, f_refund, warm_post = outcome
+                if f_success != 1:
+                    raise Unsupported(
+                        "reverting inner frames are outside the envelope"
+                    )
+                if f_gas > fwd_cap:
+                    raise Unsupported("inner frame overran its forwarded gas")
+                warm_addrs.update(warm_post)
+                out_len = len(output)
+                if out_len > 256:
+                    raise Unsupported("frame returndata beyond 256 bytes")
+                if not 0 <= ret_len <= out_len:
+                    raise Unsupported("frame retLen beyond the returndata")
+                entry = (op, FRAME_TARGET, args_len, ret_len, out_len)
+                call_gas = acost + f_gas
+            else:
+                out_len = shape.call_out_len(addr, args_len, ret_len)
+                if addr != 5 and ret_len not in (0, out_len):
+                    raise Unsupported(
+                        "call retLen must be 0 or the output length"
+                    )
+                entry = (op, addr, args_len, ret_len, out_len)
+                output = _run_precompile(addr, data)
+                if len(output) != out_len:
+                    # modexp: retLen must equal msize; others can't differ
+                    raise Unsupported(
+                        f"precompile {addr:#x} output {len(output)}B != "
+                        f"declared retLen {out_len}B"
+                    )
+                # gas: warm account access + precompile cost on the op
+                # row; ret-area expansion charges on the CLA transition
+                wcount = (args_len + 31) // 32
+                if addr == 5:
+                    pre_cost = modexp_gas(data)  # EIP-2565
+                elif addr == 6:
+                    pre_cost = 150  # EIP-1108
+                elif addr == 7:
+                    pre_cost = 6000  # EIP-1108
+                elif addr == 9:
+                    pre_cost = int.from_bytes(data[:4], "big")  # EIP-152
+                else:
+                    pre_cost = {1: 3000, 2: 60 + 12 * wcount,
+                                3: 600 + 120 * wcount, 4: 15 + 3 * wcount}[addr]
+                # EIP-150 forwarding: consensus sends min(gasw, 63/64 of
+                # the gas remaining after the access + memory-expansion
+                # charges); a precompile receiving less than its cost
+                # fails with success=0 and consumes only the forwarded
+                # gas — a path the machine does not prove. Gas-starved
+                # calls therefore leave the envelope HERE (explicit
+                # Unsupported at generation time) instead of surfacing
+                # later as a state-root/gas mismatch.
+                fwd_cap = gasw
+                if inputs.gas_budget > 0:
+                    rem = inputs.gas_budget - meter.used - 100 - mem_delta
+                    if rem < 0:
+                        raise Unsupported("out of gas at precompile call")
+                    fwd_cap = min(gasw, rem - rem // 64)
+                if fwd_cap < pre_cost:
+                    raise Unsupported(
+                        f"precompile {addr:#x} forwarded gas {fwd_cap} < "
+                        f"cost {pre_cost} (call would fail in consensus)"
+                    )
+                call_gas = 100 + pre_cost
             # over-limit traces must fail fast, BEFORE the discovery
             # loop grows call_shapes past the CSEL bank width and pays
             # an extra re-execution with an oversized PI layout
             if ccount >= MAX_CALLS:
-                raise Unsupported(f"more than {MAX_CALLS} precompile calls")
+                raise Unsupported(f"more than {MAX_CALLS} inner calls")
             if ccount >= len(shape.call_shapes):
                 raise UnknownCallShape(ccount, entry)
             if shape.call_shapes[ccount] != entry:
@@ -1602,58 +1744,9 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             ci = ccount
             cd_calls[r] = 1
             in_words = shape.call_in_words(args_len)
-            out_words = shape.call_out_words(addr, args_len, ret_len)
-            data = bytes(evm_mem.get(args_ofs + k, 0) for k in range(args_len))
-            output = _run_precompile(addr, data)
-            if len(output) != out_len:
-                # modexp: retLen must equal msize; others cannot differ
-                raise Unsupported(
-                    f"precompile {addr:#x} output {len(output)}B != "
-                    f"declared retLen {out_len}B"
-                )
-            # gas: warm account access + precompile cost on the op row;
-            # ret-area expansion charges on the CLA row's transition
-            wcount = (args_len + 31) // 32
-            if addr == 5:
-                pre_cost = modexp_gas(data)  # EIP-2565
-            elif addr == 6:
-                pre_cost = 150  # EIP-1108
-            elif addr == 7:
-                pre_cost = 6000  # EIP-1108
-            elif addr == 9:
-                pre_cost = int.from_bytes(data[:4], "big")  # EIP-152
-            else:
-                pre_cost = {1: 3000, 2: 60 + 12 * wcount,
-                            3: 600 + 120 * wcount, 4: 15 + 3 * wcount}[addr]
-            # EIP-150 forwarding: consensus sends min(gasw, 63/64 of the
-            # gas remaining after the access + memory-expansion charges);
-            # a precompile receiving less than its cost fails with
-            # success=0 and consumes only the forwarded gas — a path the
-            # machine does not prove. Gas-starved calls therefore leave
-            # the envelope HERE (explicit Unsupported at generation time)
-            # instead of surfacing later as a state-root/gas mismatch.
-            from ..evm.gas import memory_cost, words_for
-
-            fwd_cap = gasw
-            if inputs.gas_budget > 0:
-                new_words = max(
-                    meter.mem_words,
-                    words_for(args_ofs, args_len),
-                    words_for(ret_ofs, ret_len) if ret_len else 0,
-                )
-                mem_delta = (
-                    memory_cost(new_words) - memory_cost(meter.mem_words)
-                )
-                rem = inputs.gas_budget - meter.used - 100 - mem_delta
-                if rem < 0:
-                    raise Unsupported("out of gas at precompile call")
-                fwd_cap = min(gasw, rem - rem // 64)
-            if fwd_cap < pre_cost:
-                raise Unsupported(
-                    f"precompile {addr:#x} forwarded gas {fwd_cap} < "
-                    f"cost {pre_cost} (call would fail in consensus)"
-                )
-            meter.charge(100 + pre_cost)
+            out_words = (out_len + 31) // 32
+            meter.charge(call_gas)
+            meter.refund += f_refund
             meter.charge_mem(args_ofs, args_len)
             touch(r, args_ofs, args_len)
             # op row: ch1 argsOfs, ch2 argsLen, ch3 gas, ch4 addr
@@ -1694,8 +1787,18 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
             del stack[-2:]
             stack.append(1)
             sp -= 1
-            # input-word staging rows (PI-bound via REVB)
+            # per-call PI directory words ([addr, gas, refund] for
+            # frames, [gas] for dyngas precompiles), then input words
             qb = lay["call_words"][ci]
+            dirw = shape.call_dir_words(entry[1])
+            if entry[1] == FRAME_TARGET:
+                pi_words[qb] = addr
+                pi_words[qb + 1] = call_gas
+                pi_words[qb + 2] = f_refund % fh.P
+            elif dirw:
+                pi_words[qb] = call_gas
+            qb += dirw
+            # input-word staging rows (PI-bound via REVB)
             for w in range(in_words):
                 r += 1
                 if r >= budget_end:
@@ -2137,6 +2240,7 @@ def execute_evm(shape: EvmShape, inputs: EvmInputs) -> EvmResult:
         return_data=return_data,
         gas_used=meter.used,
         gas_refund=meter.refund,
+        warm_addrs_post=tuple(sorted(warm_addrs)),
     )
 
 
@@ -2547,20 +2651,17 @@ class EvmStark(Stark):
         csel = [L(CSEL[i]) for i in range(MAX_CALLS)]
         callop = o.add(sel[CALL], sel[STATICCALL])
         n_calls = len(s.call_shapes)
-        # per-call static data
+        # per-call static data (entry = (op, target, alen, rlen, olen);
+        # target 0 = contract frame, else precompile id)
         call_op_i = [cs_[0] for cs_ in s.call_shapes]
-        call_pid = [cs_[1] for cs_ in s.call_shapes]
+        call_tgt = [cs_[1] for cs_ in s.call_shapes]
         call_alen = [cs_[2] for cs_ in s.call_shapes]
         call_rlen = [cs_[3] for cs_ in s.call_shapes]
+        call_outlen = [cs_[4] for cs_ in s.call_shapes]
         call_inw = [s.call_in_words(a) for a in call_alen]
-        call_outw = [
-            s.call_out_words(p, a, rl)
-            for p, a, rl in zip(call_pid, call_alen, call_rlen)
-        ]
-        call_outlen = [
-            s.call_out_len(p, a, rl)
-            for p, a, rl in zip(call_pid, call_alen, call_rlen)
-        ]
+        call_outw = [(ol + 31) // 32 for ol in call_outlen]
+        call_dirw = [s.call_dir_words(t) for t in call_tgt]
+        call_is_frame = [t == FRAME_TARGET for t in call_tgt]
         halted = L(HALTED)
         pc, sp = L(PC), L(SP)
         z, zinv, zs = L(Z), L(ZINV), L(ZS)
@@ -3332,26 +3433,36 @@ class EvmStark(Stark):
         for k in range(2, N_LIMBS):
             c.constraint(o.mul(callop, L(CH_VAL[1][k])))
         c.constraint(o.mul(callop, o.sub(L(R0), ofs32)))
-        # argsLen / addr / opcode are shape constants per CSEL slot
+        # argsLen / opcode are shape constants per CSEL slot
+        lay_cw = lay.get("call_words", [])
         alen_c = None
-        pid_c = None
         opc_c = None
         for i in range(n_calls):
             t = o.mul(csel[i], const(call_alen[i]))
             alen_c = t if alen_c is None else o.add(alen_c, t)
-            t = o.mul(csel[i], const(call_pid[i]))
-            pid_c = t if pid_c is None else o.add(pid_c, t)
             t = o.mul(csel[i], const(call_op_i[i]))
             opc_c = t if opc_c is None else o.add(opc_c, t)
         alen_c = alen_c if alen_c is not None else zero
-        pid_c = pid_c if pid_c is not None else zero
         opc_c = opc_c if opc_c is not None else zero
         c.constraint(o.mul(callop, o.sub(L(CH_VAL[2][0]), alen_c)))
         for k in range(1, N_LIMBS):
             c.constraint(o.mul(callop, L(CH_VAL[2][k])))
-        c.constraint(o.mul(callop, o.sub(L(CH_VAL[4][0]), pid_c)))
-        for k in range(1, N_LIMBS):
-            c.constraint(o.mul(callop, L(CH_VAL[4][k])))
+        # ch4 addr: precompile entries pin their constant id (limb 0);
+        # frame entries bind all 16 limbs to the call's `addr` PI word
+        for k in range(N_LIMBS):
+            want = None
+            for i in range(n_calls):
+                if call_is_frame[i]:
+                    t = o.mul(
+                        csel[i], ctx.public_input(16 * lay_cw[i] + k)
+                    )
+                elif k == 0:
+                    t = o.mul(csel[i], const(call_tgt[i]))
+                else:
+                    continue
+                want = t if want is None else o.add(want, t)
+            want = want if want is not None else zero
+            c.constraint(o.mul(callop, o.sub(L(CH_VAL[4][k]), want)))
         c.constraint(o.mul(callop, o.sub(L(CH_VAL[0][0]), opc_c)))
         # CSEL: one-hot on call rows, linked to the CIDX counter
         call_rows = o.add(callop, o.add(cla, o.add(cli, clo)))
@@ -3373,11 +3484,15 @@ class EvmStark(Stark):
         c.constraint_transition(o.sub(N(CIDX), o.add(L(CIDX), callop)))
         for i in range(n_calls, MAX_CALLS):
             c.constraint(csel[i])
-        # CSEL carries along the call's rows (op->CLA->CLI...->CLO...)
+        # CSEL carries along the call's rows (op->CLA->CLI...->CLO...);
+        # CLI rows carry only while the call continues (the next row is
+        # CLI or CLO) — a zero-output call's last CLI row hands back to
+        # normal execution and the next op row may select another call
         for i in range(n_calls):
-            c.constraint_transition(
-                o.mul(o.add(callop, o.add(cla, cli)), o.sub(N(CSEL[i]), csel[i]))
+            carry = o.add(
+                o.add(callop, cla), o.mul(cli, o.add(N(S_CLI), N(S_CLO)))
             )
+            c.constraint_transition(o.mul(carry, o.sub(N(CSEL[i]), csel[i])))
             c.constraint_transition(
                 o.mul(o.mul(clo, N(S_CLO)), o.sub(N(CSEL[i]), csel[i]))
             )
@@ -3411,17 +3526,25 @@ class EvmStark(Stark):
             c.constraint(o.mul(cla_value_read, L(CH_VAL[4][k])))
         # phase choreography: CLA -> first CLI; CLI advances its word
         # counter until the call's input words are staged, then CLO
+        # (zero-output calls complete on their last CLI row instead)
         cli_notlast = None
-        cli_last = None
+        cli_last_out = None
+        cli_last_noout = None
         for i in range(n_calls):
             base = o.mul(csel[i], cli)
             for w in range(call_inw[i] - 1):
                 t = o.mul(base, nsel[w])
                 cli_notlast = t if cli_notlast is None else o.add(cli_notlast, t)
             t = o.mul(base, nsel[call_inw[i] - 1])
-            cli_last = t if cli_last is None else o.add(cli_last, t)
+            if call_outw[i] > 0:
+                cli_last_out = t if cli_last_out is None else o.add(cli_last_out, t)
+            else:
+                cli_last_noout = (
+                    t if cli_last_noout is None else o.add(cli_last_noout, t)
+                )
         cli_notlast = cli_notlast if cli_notlast is not None else zero
-        cli_last = cli_last if cli_last is not None else zero
+        cli_last_out = cli_last_out if cli_last_out is not None else zero
+        cli_last_noout = cli_last_noout if cli_last_noout is not None else zero
         clo_notlast = None
         clo_last = None
         clo_last_nocb = None
@@ -3445,7 +3568,9 @@ class EvmStark(Stark):
         cbgo_def = cbgo_def if cbgo_def is not None else zero
         c.constraint(o.sub(L(CBGO), cbgo_def))
         c.constraint_transition(o.sub(N(S_CLI), o.add(cla, cli_notlast)))
-        c.constraint_transition(o.sub(N(S_CLO), o.add(cli_last, clo_notlast)))
+        c.constraint_transition(
+            o.sub(N(S_CLO), o.add(cli_last_out, clo_notlast))
+        )
         c.constraint_transition(o.mul(cla, o.sub(N(NSEL[0]), one)))
         c.constraint_transition(
             o.mul(o.mul(cli, N(S_CLO)), o.sub(N(NSEL[0]), one))
@@ -3495,18 +3620,20 @@ class EvmStark(Stark):
             o.mul(o.sub(one, callop), o.sub(N(RDS), L(RDS)))
         )
         # input/output words bind to the call's public-input words
-        lay_cw = lay.get("call_words", [])
+        # (offset past the entry's directory words)
         for k in range(N_LIMBS):
             combo_in = None
             combo_out = None
             for i in range(n_calls):
                 for w in range(call_inw[i]):
-                    piv = ctx.public_input(16 * (lay_cw[i] + w) + k)
+                    piv = ctx.public_input(
+                        16 * (lay_cw[i] + call_dirw[i] + w) + k
+                    )
                     t = o.mul(o.mul(csel[i], nsel[w]), piv)
                     combo_in = t if combo_in is None else o.add(combo_in, t)
                 for w in range(call_outw[i]):
                     piv = ctx.public_input(
-                        16 * (lay_cw[i] + call_inw[i] + w) + k
+                        16 * (lay_cw[i] + call_dirw[i] + call_inw[i] + w) + k
                     )
                     t = o.mul(o.mul(csel[i], nsel[w]), piv)
                     combo_out = t if combo_out is None else o.add(combo_out, t)
@@ -4294,7 +4421,9 @@ class EvmStark(Stark):
         # the final LOGD data word — same expression as LOGIDX); copies
         # advance on the final CPW row (or the op row for len == 0)
         pc_adv = o.add(pc_adv, completion)
-        pc_adv = o.add(pc_adv, clo_last_nocb)
+        # calls complete on the last CLO row (no copy-back), the final
+        # CPW row (copy-back), or the last CLI row (zero-output calls)
+        pc_adv = o.add(pc_adv, o.add(clo_last_nocb, cli_last_noout))
         pc_adv = o.add(pc_adv, o.add(L(TERM), o.mul(sel[EXP], z)))
         pc_adv = o.add(pc_adv, o.add(kdig, o.add(slx, ssx)))
         pc_adv = o.add(
@@ -4457,15 +4586,28 @@ class EvmStark(Stark):
         dadd(o.mul(const(100), L(P2)))
         # EXP: 50 per exponent byte on the TERM row (10 static on setup)
         dadd(o.mul(L(TERM), o.mul(const(50), L(KWORDS))))
-        # precompile calls: 100 warm access + the precompile's cost
-        # (shape-static; memory expansion rides the generic grow terms)
+        # inner calls, charged on the op row (memory expansion rides the
+        # generic grow terms): static-cost precompiles use the shape
+        # constant 100 + cost; dynamic charges (modexp/blake2f, and
+        # contract frames' access + inner gas) ride the call's gas
+        # directory PI word (4 limbs, like the last-row GAS binding)
         for i in range(n_calls):
-            wcount_i = (call_alen[i] + 31) // 32
-            pc_cost = {1: 3000, 2: 60 + 12 * wcount_i,
-                       3: 600 + 120 * wcount_i, 4: 15 + 3 * wcount_i}[
-                call_pid[i]
-            ]
-            dadd(o.mul(o.mul(callop, csel[i]), const(100 + pc_cost)))
+            gate = o.mul(callop, csel[i])
+            if call_dirw[i]:
+                gw = lay_cw[i] + (1 if call_is_frame[i] else 0)
+                comp = None
+                for k in range(4):
+                    t = o.mul(
+                        const(1 << (16 * k)), ctx.public_input(16 * gw + k)
+                    )
+                    comp = t if comp is None else o.add(comp, t)
+                dadd(o.mul(gate, comp))
+            else:
+                wcount_i = (call_alen[i] + 31) // 32
+                pc_cost = {1: 3000, 2: 60 + 12 * wcount_i,
+                           3: 600 + 120 * wcount_i, 4: 15 + 3 * wcount_i,
+                           6: 150, 7: 6000}[call_tgt[i]]
+                dadd(o.mul(gate, const(100 + pc_cost)))
         # environment queries: per-query gas rides the qgas PI word
         for i in range(s.n_queries):
             dadd(
@@ -4494,6 +4636,17 @@ class EvmStark(Stark):
         rdelta = o.add(
             rdelta, o.mul(const(2800), o.mul(L(P2), o.mul(L(E_VO), not_eo0)))
         )
+        # inner contract frames contribute their own (mod-p) refund via
+        # the call's refund directory PI word, charged on the op row
+        for i in range(n_calls):
+            if not call_is_frame[i]:
+                continue
+            rw = lay_cw[i] + 2
+            comp = None
+            for k in range(4):
+                t = o.mul(const(1 << (16 * k)), ctx.public_input(16 * rw + k))
+                comp = t if comp is None else o.add(comp, t)
+            rdelta = o.add(rdelta, o.mul(o.mul(callop, csel[i]), comp))
         c.constraint_transition(o.sub(N(REFUND), o.add(L(REFUND), rdelta)))
 
         # -- bind GAS/REFUND to public inputs on the last row (values fit

@@ -896,7 +896,7 @@ class TestPrecompileCalls:
         shape, res, _ = self._sat(code, log_rows=10)
         exp = hashlib.sha256((0xDEAD).to_bytes(32, "big")).digest()
         assert res.return_data == exp
-        assert shape.call_shapes == ((E.STATICCALL, 2, 32, 32),)
+        assert shape.call_shapes == ((E.STATICCALL, 2, 32, 32, 32),)
 
     def test_call_identity_with_returndatacopy(self):
         code = E.asm(
@@ -913,7 +913,7 @@ class TestPrecompileCalls:
         )
         shape, res, _ = self._sat(code, log_rows=10)
         assert int.from_bytes(res.return_data, "big") == 0x1234
-        assert shape.call_shapes == ((E.CALL, 4, 32, 0),)
+        assert shape.call_shapes == ((E.CALL, 4, 32, 0, 32),)
 
     def test_ecrecover(self):
         from ethproof_tpu.evm import secp256k1 as ec
@@ -949,7 +949,7 @@ class TestPrecompileCalls:
         ]
         code = E.asm(*items)
         shape, res, _ = self._sat(code, log_rows=11)
-        assert shape.call_shapes == ((E.STATICCALL, 1, 128, 32),)
+        assert shape.call_shapes == ((E.STATICCALL, 1, 128, 32, 32),)
         assert res.return_data == b"\0" * 12 + exp_addr
 
     def test_two_calls_second_returndata_wins(self):
