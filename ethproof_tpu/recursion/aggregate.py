@@ -87,15 +87,25 @@ def seams_chain(ls: List[int], rs: List[int]) -> bool:
 @dataclass
 class AggCircuit:
     """Level-k aggregation: verifies two level-(k-1) machine proofs,
-    chains their seams in-circuit, and exposes the combined statement."""
+    chains their seams in-circuit, and exposes the combined statement.
 
-    vc: VerifierCompiler
+    vc may be None for disk-loaded circuits (recursion/persist.py);
+    proving lazily re-runs `rebuild` once."""
+
+    vc: "VerifierCompiler | None"
     stark: RecursionStark
     log_n: int
+    rebuild: "object | None" = None  # () -> AggCircuit (full)
+
+    def _ensure_vc(self) -> None:
+        if self.vc is None:
+            assert self.rebuild is not None, "loaded circuit without builder"
+            self.vc = self.rebuild().vc
 
     def prove(
         self, left: MachineProof, right: MachineProof, config: StarkConfig
     ) -> MachineProof:
+        self._ensure_vc()
         assert left.seam is not None and right.seam is not None, (
             "agg children must carry their statement preimages"
         )
@@ -241,10 +251,14 @@ class AggLadder:
         leaf_starks: "RecursionStark | List[RecursionStark]",
         leaf_log_n: int,
         config: StarkConfig,
+        cache_tag: "str | None" = None,
     ):
         if not isinstance(leaf_starks, list):
             leaf_starks = [leaf_starks]
         self.config = config
+        # disk-persistence key prefix for this ladder's agg circuits
+        # (recursion/persist.py); None disables the disk cache
+        self.cache_tag = cache_tag
         self._shape: Dict[int, Tuple[List[RecursionStark], int]] = {
             0: (leaf_starks, leaf_log_n)
         }
@@ -254,7 +268,31 @@ class AggLadder:
         assert level >= 1
         if level not in self._agg:
             cs, cn = self.level_shape(level - 1)
-            a = build_agg(cs, cn, self.config)
+
+            def build(cs=cs, cn=cn):
+                return build_agg(cs, cn, self.config)
+
+            a = None
+            if self.cache_tag is not None:
+                from .machine import RecursionStark as _RS
+                from .persist import circ_path, load_circuit, save_circuit
+
+                path = circ_path("agg", (self.cache_tag, level))
+                hit = load_circuit(path)
+                if hit is not None:
+                    circ, ex = hit
+                    a = AggCircuit(
+                        vc=None, stark=_RS(circ), log_n=int(ex["log_n"]),
+                        rebuild=build,
+                    )
+                else:
+                    a = build()
+                    a.rebuild = build
+                    save_circuit(
+                        path, a.stark.circuit, {"log_n": a.log_n}
+                    )
+            if a is None:
+                a = build()
             self._agg[level] = a
             self._shape[level] = ([a.stark], a.log_n)
         return self._agg[level]

@@ -57,8 +57,25 @@ class Gate:
     label: str = ""
     # G_WIT only: derive the value from earlier wires instead of consuming
     # the external witness stream (plonky2-generator analogue: gadget
-    # hints like inverses / bit decompositions fill themselves)
-    hint: Optional[object] = None
+    # hints like inverses / bit decompositions fill themselves).
+    # DECLARATIVE tuples — ("inv", a) | ("bit", x, i) | ("extinv", a, b,
+    # comp) — evaluated by interpret(); declarative (not closures) so
+    # whole circuits serialize to the prover-state artifact dir
+    # (reference persistence.rs:40-88 parity).
+    hint: Optional[Tuple] = None
+
+
+def eval_hint(h: Tuple, vals: List[int]) -> int:
+    tag = h[0]
+    if tag == "inv":
+        return pow(vals[h[1]], P - 2, P)
+    if tag == "bit":
+        return (vals[h[1]] >> h[2]) & 1
+    if tag == "extinv":
+        a, b = vals[h[1]], vals[h[2]]
+        ni = pow((a * a - 7 * b * b) % P, P - 2, P)
+        return a * ni % P if h[3] == 0 else (-b) * ni % P
+    raise ValueError(f"unknown hint {h!r}")
 
 
 @dataclass
@@ -194,7 +211,7 @@ class CBuilder:
 
     def inverse(self, a: Wire, label: str = "inv") -> Wire:
         """Witnessed inverse: w * a == 1 (fails for a == 0). Self-filling."""
-        w = self.wit(label, hint=lambda vals, a=a: pow(vals[a], P - 2, P))
+        w = self.wit(label, hint=("inv", a))
         self.assert_eq(self.mul(w, a), self.const(1), label=label)
         return w
 
@@ -208,9 +225,7 @@ class CBuilder:
         Bit wires are hint-filled from x's value.
         """
         bits = [
-            self.bool_check(
-                self.wit(f"bit{i}", hint=lambda vals, x=x, i=i: (vals[x] >> i) & 1)
-            )
+            self.bool_check(self.wit(f"bit{i}", hint=("bit", x, i)))
             for i in range(n_bits)
         ]
         acc = bits[0]
@@ -262,15 +277,10 @@ class CBuilder:
         self.assert_eq(x[1], y[1], label=label + ".b")
 
     def ext_inverse(self, x: Ext, label: str = "ext-inv") -> Ext:
-        def _hint(vals, comp):
-            # (a + b*s)^-1 = (a - b*s) / (a^2 - 7 b^2) in GF(p^2), x^2 = 7
-            a, b = vals[x[0]], vals[x[1]]
-            ni = pow((a * a - 7 * b * b) % P, P - 2, P)
-            return (a * ni % P) if comp == 0 else ((-b) * ni % P)
-
+        # (a + b*s)^-1 = (a - b*s) / (a^2 - 7 b^2) in GF(p^2), x^2 = 7
         w = (
-            self.wit(label + ".a", hint=lambda vals: _hint(vals, 0)),
-            self.wit(label + ".b", hint=lambda vals: _hint(vals, 1)),
+            self.wit(label + ".a", hint=("extinv", x[0], x[1], 0)),
+            self.wit(label + ".b", hint=("extinv", x[0], x[1], 1)),
         )
         prod = self.ext_mul(w, x)
         self.assert_eq(prod[0], self.const(1), label=label + ".a")
@@ -279,6 +289,87 @@ class CBuilder:
 
     def ext_select(self, bit: Wire, x: Ext, y: Ext) -> Ext:
         return (self.select(bit, x[0], y[0]), self.select(bit, x[1], y[1]))
+
+
+_HINT_TAGS = {"inv": 0, "bit": 1, "extinv": 2}
+_HINT_NAMES = {v: k for k, v in _HINT_TAGS.items()}
+_HINT_ARITY = {"inv": 1, "bit": 2, "extinv": 3}
+
+
+def circuit_to_arrays(c: Circuit) -> Dict:
+    """Compact numpy encoding for disk persistence (labels dropped —
+    they only decorate assertion messages). The prover-state artifact
+    dir stores circuits this way (reference persistence.rs:40-88)."""
+    import numpy as np
+
+    n = len(c.gates)
+    op = np.zeros(n, np.uint8)
+    a = np.zeros(n, np.uint32)
+    b = np.zeros(n, np.uint32)
+    out = np.zeros(n, np.uint32)
+    cval = np.zeros(n, np.uint64)
+    htag = np.full(n, -1, np.int8)
+    hargs = np.zeros((n, 3), np.uint32)
+    pos: List[List[int]] = []
+    pidx = np.zeros(n, np.uint32)
+    for i, g in enumerate(c.gates):
+        op[i], a[i], b[i], out[i], cval[i] = g.op, g.a, g.b, g.out, g.c
+        if g.op == G_POSEIDON:
+            pidx[i] = len(pos)
+            pos.append(list(g.ins) + list(g.outs))
+        if g.hint is not None:
+            htag[i] = _HINT_TAGS[g.hint[0]]
+            for j, v in enumerate(g.hint[1:]):
+                hargs[i, j] = v
+    return dict(
+        op=op, a=a, b=b, out=out, c=cval, htag=htag, hargs=hargs,
+        pos=(
+            np.asarray(pos, np.uint32)
+            if pos
+            else np.zeros((0, 24), np.uint32)
+        ),
+        pidx=pidx,
+        meta=np.asarray(
+            [c.num_wires, c.num_public_inputs, c.num_witness], np.int64
+        ),
+    )
+
+
+def circuit_from_arrays(d: Dict) -> Circuit:
+    op, a, b, out, cval = d["op"], d["a"], d["b"], d["out"], d["c"]
+    htag, hargs, pos, pidx = d["htag"], d["hargs"], d["pos"], d["pidx"]
+    gates: List[Gate] = []
+    for i in range(op.shape[0]):
+        o = int(op[i])
+        hint = None
+        if htag[i] >= 0:
+            name = _HINT_NAMES[int(htag[i])]
+            hint = (name,) + tuple(
+                int(hargs[i, j]) for j in range(_HINT_ARITY[name])
+            )
+        if o == G_POSEIDON:
+            row = pos[int(pidx[i])]
+            gates.append(
+                Gate(
+                    o,
+                    ins=tuple(int(x) for x in row[:12]),
+                    outs=tuple(int(x) for x in row[12:]),
+                )
+            )
+        else:
+            gates.append(
+                Gate(
+                    o, a=int(a[i]), b=int(b[i]), out=int(out[i]),
+                    c=int(cval[i]), hint=hint,
+                )
+            )
+    meta = d["meta"]
+    return Circuit(
+        gates=gates,
+        num_wires=int(meta[0]),
+        num_public_inputs=int(meta[1]),
+        num_witness=int(meta[2]),
+    )
 
 
 def interpret(
@@ -300,7 +391,7 @@ def interpret(
     for g in circuit.gates:
         if g.op == G_WIT:
             if g.hint is not None:
-                vals[g.out] = g.hint(vals) % P
+                vals[g.out] = eval_hint(g.hint, vals) % P
             else:
                 vals[g.out] = next(it) % P
                 n_wit += 1

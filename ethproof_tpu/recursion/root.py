@@ -72,6 +72,36 @@ def tx_seam(gi) -> List[int]:
     )
 
 
+def dummy_seam(gi) -> List[int]:
+    """Seam words for a padding dummy: txn/gas FLAT (no increment);
+    roots move only for the withdrawal-carrying dummy (reference
+    padding_and_withdrawals.rs:89-134 credits balances in the final
+    payload's trie state)."""
+    from ..evm.kasm import le_word
+    from ..tables.common import int_to_limbs
+
+    return (
+        [
+            gi.txn_number_before,
+            gi.txn_number_before,
+            gi.gas_used_before,
+            gi.gas_used_after,
+        ]
+        + int_to_limbs(le_word(gi.tries.state_trie.hash()))
+        + int_to_limbs(le_word(gi.trie_roots_after.state_root))
+    )
+
+
+# domain tag distinguishing the no-op dummy's statement digest from any
+# kernel digest (both are 4-word sponges)
+DUMMY_TAG = int.from_bytes(b"ethproof-dummy-leaf", "big") % P
+
+
+def dummy_statement_digest() -> List[int]:
+    """Host mirror of the no-op dummy leaf's inner digest."""
+    return poseidon.hash_n_to_m_no_pad_host([DUMMY_TAG], 4)
+
+
 def leaf_statement(seam: List[int], digest: List[int]) -> List[int]:
     """Host mirror of the root circuit's exposed statement
     E = sponge(seam ++ D_tx)."""
@@ -94,16 +124,27 @@ class TxRootCircuit:
     """Compiled root: machine circuit verifying one MultiProof, exposing
     E = sponge(seam ++ D_tx). `seam_root_slices` records which cpu PI
     limb ranges the seam roots were wired to (None: witnessed — the EVM
-    leaf until the binding proof is folded in, PARITY.md)."""
+    leaf until the binding proof is folded in, PARITY.md).
 
-    vc: VerifierCompiler
+    vc may be None for DISK-LOADED circuits (recursion/persist.py —
+    the serialized program has no witness accessors); proving then
+    lazily re-runs `rebuild` (the deterministic builder) once."""
+
+    vc: Optional[VerifierCompiler]
     stark: RecursionStark
     log_n: int
     seam_root_slices: "Optional[Tuple[slice, slice]]" = None
+    rebuild: Optional[object] = None  # () -> TxRootCircuit (full)
+
+    def _ensure_vc(self) -> None:
+        if self.vc is None:
+            assert self.rebuild is not None, "loaded circuit without builder"
+            self.vc = self.rebuild().vc
 
     def prove(
         self, multi: MultiProof, seam: List[int], config: StarkConfig
     ) -> MachineProof:
+        self._ensure_vc()
         digest = tx_statement_digest(multi.proofs[0].public_inputs)
         witness = self.vc.stream(_RootFill(multi=multi, seam=seam))
         mp = prove_circuit(
@@ -151,8 +192,95 @@ def build_evm_root(machine, sizes: TableSizes, config: StarkConfig) -> TxRootCir
     return _build_root(starks, ctls, log_ns, config)
 
 
+@dataclass
+class _DummyFill:
+    seam: List[int]
+
+
+@dataclass
+class DummyRootCircuit:
+    """Leaf circuit for the NO-OP padding dummy: no inner proof at all —
+    the statement E = sponge(seam ++ sponge(DUMMY_TAG)) with txn/gas
+    FLAT and root_post == root_pre constrained in-circuit (the claim
+    verify_dummy host-checks, reference padding_and_withdrawals.rs:
+    170-178, now proved)."""
+
+    vc: Optional[VerifierCompiler]
+    stark: RecursionStark
+    log_n: int
+    rebuild: Optional[object] = None
+
+    def _ensure_vc(self) -> None:
+        if self.vc is None:
+            assert self.rebuild is not None
+            self.vc = self.rebuild().vc
+
+    def prove(self, seam: List[int], config: StarkConfig) -> MachineProof:
+        self._ensure_vc()
+        digest = dummy_statement_digest()
+        mp = prove_circuit(
+            self.stark, self.vc.stream(_DummyFill(seam=seam)),
+            leaf_statement(seam, digest), config, self.log_n,
+        )
+        mp.seam = list(seam)
+        mp.digest = digest
+        return mp
+
+
+def build_dummy_root(config: StarkConfig) -> DummyRootCircuit:
+    vc = VerifierCompiler()
+    b = vc.b
+    seam = [
+        vc.inp(lambda c, i=i: int(c.seam[i]) % P, f"seam[{i}]")
+        for i in range(SEAM_WORDS)
+    ]
+    b.assert_eq(seam[1], seam[0], "txn-flat")
+    b.assert_eq(seam[3], seam[2], "gas-flat")
+    for i in range(16):
+        b.assert_eq(seam[20 + i], seam[4 + i], f"root-flat[{i}]")
+    dig = sponge_hash(b, [b.const(DUMMY_TAG)], 4)
+    out = sponge_hash(b, seam + dig, 4)
+    for k in range(4):
+        b.expose(out[k], k, f"pi[{k}]")
+    stark = RecursionStark(b.build())
+    return DummyRootCircuit(vc=vc, stark=stark, log_n=machine_degree(stark))
+
+
+def build_withdrawal_root(
+    n: int, kshape, sizes: TableSizes, config: StarkConfig
+) -> TxRootCircuit:
+    """Root circuit for a withdrawal-carrying dummy: verifies the
+    withdrawal kernel's multi-proof (evm/withdrawal.py) and exposes the
+    dummy statement with seam roots WIRED to the kernel's own root PI
+    limbs — withdrawal credits leave the host tier."""
+    from ..evm.withdrawal import (
+        WD_ROOT_POST,
+        WD_ROOT_PRE,
+        build_withdrawal_kernel,
+        wd_num_pi_words,
+    )
+    from ..tables.common import N_LIMBS
+
+    kasm = build_withdrawal_kernel(n, kshape)
+    cpu = CpuStark(kasm.prog, wd_num_pi_words(n))
+    with_keccak = sizes.keccak is not None
+    assert with_keccak, "the withdrawal kernel hashes MPT nodes"
+    starks = all_starks(cpu, with_keccak)
+    ctls = build_ctls(cpu, with_keccak)
+    log_ns = sizes.degree_bits(with_keccak)
+    slices = (
+        slice(WD_ROOT_PRE * N_LIMBS, (WD_ROOT_PRE + 1) * N_LIMBS),
+        slice(WD_ROOT_POST * N_LIMBS, (WD_ROOT_POST + 1) * N_LIMBS),
+    )
+    return _build_root(
+        starks, ctls, log_ns, config, seam_root_slices=slices,
+        flat_seam=True,
+    )
+
+
 def _build_root(
-    starks, ctls, log_ns, config: StarkConfig, seam_root_slices=None
+    starks, ctls, log_ns, config: StarkConfig, seam_root_slices=None,
+    flat_seam: bool = False,
 ) -> TxRootCircuit:
     assert len(log_ns) == len(starks)
     nc = config.num_challenges
@@ -231,9 +359,15 @@ def _build_root(
         vc.inp(lambda c, i=i: int(c.seam[i]) % P, f"seam[{i}]")
         for i in range(4)
     ]
-    b.assert_eq(
-        seam_scalars[1], b.add(seam_scalars[0], b.const(1)), "txn-increment"
-    )
+    if flat_seam:
+        # padding dummy: no txn, no gas (withdrawal credits only)
+        b.assert_eq(seam_scalars[1], seam_scalars[0], "txn-flat")
+        b.assert_eq(seam_scalars[3], seam_scalars[2], "gas-flat")
+    else:
+        b.assert_eq(
+            seam_scalars[1], b.add(seam_scalars[0], b.const(1)),
+            "txn-increment",
+        )
     if seam_root_slices is not None:
         pre_sl, post_sl = seam_root_slices
         root_wires = list(table_pis[0][pre_sl]) + list(table_pis[0][post_sl])
