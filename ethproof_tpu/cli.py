@@ -131,6 +131,7 @@ def cmd_prove(args) -> int:
             runtime=runtime,
             recursion=args.recursion,
             binding_shape=binding_shape,
+            block_wrap=getattr(args, "block_wrap", False),
         )
     finally:
         runtime.close()
@@ -158,6 +159,7 @@ def cmd_verify(args) -> int:
             bp.succinct.sizes, config,
             binding_shape=bp.succinct.binding_shape,
             evm_shapes=bp.succinct.evm_shapes,
+            wd_counts=bp.succinct.wd_counts,
         )
     ok = verify_block(bp, config, recursion=recursion)
     print("valid" if ok else "INVALID", file=sys.stderr)
@@ -217,6 +219,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="succinct constant-size block proof via the recursion ladder "
         "(transfer state binding proved in-circuit; contract-call storage "
         "binding is still host-checked in this mode — see PARITY.md)",
+    )
+    prove.add_argument(
+        "--block-wrap",
+        action="store_true",
+        dest="block_wrap",
+        help="with --recursion: chain this block to its parent IN-CIRCUIT "
+        "via the block wrap circuits (reference block circuit, "
+        "ops/src/lib.rs:84-101)",
     )
     _add_circuit_flags(prove)
     prove.set_defaults(fn=cmd_prove)

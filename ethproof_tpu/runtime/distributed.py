@@ -59,6 +59,7 @@ def _op_tx_proof(payload: dict):
             payload["sizes"], payload["config"],
             binding_shape=payload.get("binding_shape"),
             evm_shapes=payload.get("evm_shapes"),
+            wd_counts=payload.get("wd_counts"),
         )
     return ops.tx_proof(
         payload["gi"], payload["config"], payload["sizes"], recursion=rstate
@@ -79,6 +80,7 @@ def _op_agg_machine(payload: dict):
         payload["sizes"], payload["config"],
         binding_shape=payload.get("binding_shape"),
         evm_shapes=payload.get("evm_shapes"),
+        wd_counts=payload.get("wd_counts"),
     )
     agg = rstate.ladder.agg(payload["level"])
     return agg.prove(payload["left"], payload["right"], payload["config"])

@@ -39,6 +39,11 @@ class FatalError(Exception):
 @dataclass
 class DummyProof:
     gen_inputs: GenerationInputs
+    # under recursion the dummy's no-op (or withdrawal-credit) claim is
+    # MACHINE-PROVED and joins the ladder fold (reference
+    # padding_and_withdrawals.rs:147-178 runs dummies through the
+    # proved kernel); None = host-checked tier (verify_dummy)
+    root_proof: Optional[object] = None  # recursion.wrap.MachineProof
 
 
 @dataclass
@@ -69,7 +74,12 @@ class SuccinctBlockProof:
 
     sizes/binding_shape identify the leaf circuits (the verifier rebuilds
     the recursion ladder's vkeys from them — the reference's
-    prover-state circuit digest, common/src/prover_state/mod.rs)."""
+    prover-state circuit digest, common/src/prover_state/mod.rs).
+
+    block_wrap (optional): a recursion.block wrap proof chaining this
+    block to its parent IN-CIRCUIT (reference block circuit,
+    ops/src/lib.rs:84-101); verify_block then checks the whole chain
+    through ONE machine proof instead of per-block host equalities."""
 
     top: object  # recursion.wrap.MachineProof
     level: int
@@ -77,6 +87,10 @@ class SuccinctBlockProof:
     binding_shape: Optional[object] = None  # evm.binding.KernelShape
     # contract-call leaf variants (ordered; rebuilds the same ladder)
     evm_shapes: Optional[list] = None
+    # in-circuit parent chaining (recursion.block.BlockWrapProof)
+    block_wrap: Optional[object] = None
+    # withdrawal-dummy leaf variants (credit counts, ordered)
+    wd_counts: Optional[list] = None
 
 
 @dataclass
@@ -144,7 +158,30 @@ def tx_proof(
     )
     with span("p_gen", tx=label):
         if gi.signed_txn is None:
-            return DummyProof(gen_inputs=gi)
+            dp = DummyProof(gen_inputs=gi)
+            if recursion is not None:
+                from ..recursion.root import dummy_seam
+
+                from ..evm.withdrawal import wd_dummy_provable
+
+                try:
+                    if not gi.withdrawals:
+                        root = recursion.dummy_root()
+                        mp = root.prove(dummy_seam(gi), config)
+                        mp.variant = recursion.variant_of_dummy()
+                        dp.root_proof = mp
+                    elif recursion.binding_shape is not None and (
+                        wd_dummy_provable(gi, recursion.binding_shape)
+                    ):
+                        dp.root_proof = _prove_withdrawal_dummy(
+                            gi, config, recursion
+                        )
+                    # withdrawals outside the kernel envelope (or with
+                    # no binding shape) stay in the host-checked tier
+                    # (excluded from the fold; verify_dummy covers them)
+                except (AssertionError, ValueError) as e:
+                    raise FatalError(f"dummy proof failed: {e}") from e
+            return dp
         try:
             if _callee_has_code(gi):
                 # contract call: the EVM machine is the kernel
@@ -191,6 +228,37 @@ def tx_proof(
             # binding was REQUIRED (recursion circuits fix the program)
             # but the witness is outside the envelope — deterministic
             raise FatalError(f"binding unsupported for {label}: {e}") from e
+
+
+def _prove_withdrawal_dummy(
+    gi: GenerationInputs, config: StarkConfig, recursion
+):
+    """Prove the withdrawal-credit kernel + its root wrap for a
+    withdrawal-carrying dummy (evm/withdrawal.py)."""
+    from ..evm.withdrawal import (
+        build_withdrawal_kernel,
+        build_withdrawal_witness,
+        expected_wd_pi,
+        wd_num_pi_words,
+    )
+    from ..recursion.root import dummy_seam
+    from ..tables.all import prove_all_tables
+    from ..tables.cpu import CpuStark
+
+    n = len(gi.withdrawals)
+    pi = expected_wd_pi(gi)
+    bw = build_withdrawal_witness(gi, pi, recursion.binding_shape)
+    kasm = build_withdrawal_kernel(n, recursion.binding_shape, pi, bw)
+    cpu = CpuStark(kasm.prog, wd_num_pi_words(n))
+    multi, _ = prove_all_tables(
+        cpu, pi, recursion.sizes, config,
+        hash_requests=kasm.hash_requests(), kernel_witness=kasm.witness,
+    )
+    with span("p_root", tx="WdDummy"):
+        root = recursion.wd_roots[n]
+        mp = root.prove(multi, dummy_seam(gi), config)
+        mp.variant = recursion.variant_of_wd(n)
+    return mp
 
 
 def agg_combine(a: AggregatableProof, b: AggregatableProof) -> AggProof:
@@ -286,9 +354,22 @@ def verify_aggregatable(
     from ..evm.contract import ContractCallProof, check_contract_binding, verify_contract_call
 
     if isinstance(p, ContractCallProof):
-        return (
-            check_contract_binding(p) if skip_stark else verify_contract_call(p, config)
-        )
+        if not skip_stark:
+            return verify_contract_call(p, config)
+        # succinct tier: the ladder covers the OUTER frame's statement;
+        # inner call frames are not yet folded in, so their machine
+        # STARKs verify directly here (PARITY.md known gaps)
+        from ..tables import all as A
+        from ..tables import evm as E
+
+        for ip in p.inner_frames or []:
+            if ip.multi is None:
+                return False
+            if not A.verify_evm_tables(
+                E.EvmStark(ip.shape), ip.machine_pi, ip.multi, config
+            ):
+                return False
+        return check_contract_binding(p)
     return verify_transfer(p, config, skip_stark=skip_stark)
 
 
@@ -300,6 +381,13 @@ def _real_txs(p: AggregatableProof) -> List:
     if isinstance(p, AggProof):
         return _real_txs(p.left) + _real_txs(p.right)
     return [p] if isinstance(p, (TxProof, ContractCallProof)) else []
+
+
+def _leaves(p: AggregatableProof) -> List:
+    """ALL leaves (real txs AND dummies) in order."""
+    if isinstance(p, AggProof):
+        return _leaves(p.left) + _leaves(p.right)
+    return [p]
 
 
 def verify_block(
@@ -320,20 +408,70 @@ def verify_block(
         from ..recursion.root import tx_seam, tx_statement_digest
         from ..tables.cpu import pi_limbs
 
-        txs = _real_txs(bp.agg)
-        if not txs:
-            return False  # a succinct proof with no real txs is malformed
+        from ..recursion.root import dummy_seam, dummy_statement_digest
+
+        def block_parts(node):
+            """(seam, digest) per FOLDED leaf, witness-re-derived. Fold
+            membership is deterministic: real txs always; no-op dummies
+            always; withdrawal dummies iff a binding shape is set (the
+            host-checked tier is excluded, matching the prover)."""
+            parts_n = []
+            for leaf in _leaves(node.agg):
+                gl = leaf.gen_inputs
+                if gl.signed_txn is not None:
+                    parts_n.append(
+                        (
+                            tx_seam(gl),
+                            tx_statement_digest(pi_limbs(leaf.pi_words)),
+                        )
+                    )
+                elif not gl.withdrawals:
+                    parts_n.append((dummy_seam(gl), dummy_statement_digest()))
+                elif recursion.binding_shape is not None:
+                    from ..evm.withdrawal import (
+                        expected_wd_pi,
+                        wd_dummy_provable,
+                    )
+
+                    if not wd_dummy_provable(gl, recursion.binding_shape):
+                        continue  # host-checked tier, not folded
+                    wd_pi = expected_wd_pi(gl)
+                    parts_n.append(
+                        (dummy_seam(gl), tx_statement_digest(pi_limbs(wd_pi)))
+                    )
+            return parts_n
+
+        parts = block_parts(bp)
+        if not parts:
+            return False  # a succinct proof with no folded leaves is malformed
         # per-leaf (seam, digest) re-derived from the WITNESS; the proved
         # top statement must hash-match their in-circuit-chained fold
-        parts = [
-            (tx_seam(t.gen_inputs), tx_statement_digest(pi_limbs(t.pi_words)))
-            for t in txs
-        ]
         if not verify_fold(
             recursion.ladder, bp.succinct.top, bp.succinct.level,
             parts, config,
         ):
             return False
+        if bp.succinct.block_wrap is not None:
+            # in-circuit parent chain: one wrap machine proof covers the
+            # whole block chain (reference block circuit parity)
+            from ..recursion.block import build_block_wraps, verify_block_chain
+
+            chain = []
+            node = bp
+            while node is not None:
+                pn = block_parts(node)
+                if not pn:
+                    return False
+                chain.append(pn)
+                node = node.parent
+            chain.reverse()
+            wraps = build_block_wraps(
+                recursion.ladder, bp.succinct.level, config
+            )
+            if not verify_block_chain(
+                wraps, bp.succinct.block_wrap, chain, config
+            ):
+                return False
     if bp.state_root_before != bp.agg.state_root_before:
         return False
     if bp.state_root_after != bp.agg.state_root_after:

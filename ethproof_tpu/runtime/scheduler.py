@@ -119,12 +119,39 @@ def _fit_block_sizes(
     with_keccak = binding_shape is not None
     for gi in gen_inputs:
         if gi.signed_txn is None:
+            # withdrawal dummies prove a credit kernel (evm/withdrawal.py)
+            if gi.withdrawals and binding_shape is not None:
+                from ..evm.withdrawal import (
+                    build_withdrawal_kernel,
+                    build_withdrawal_witness,
+                    expected_wd_pi,
+                    wd_dummy_provable,
+                )
+
+                if wd_dummy_provable(gi, binding_shape):
+                    pi = expected_wd_pi(gi)
+                    bw = build_withdrawal_witness(gi, pi, binding_shape)
+                    kasm = build_withdrawal_kernel(
+                        len(gi.withdrawals), binding_shape, pi, bw
+                    )
+                    counts = kernel_counts(kasm.prog, kasm.hash_requests())
+                    for k, v in counts.items():
+                        merged[k] = max(merged.get(k, 1), v)
             continue
         if _ops._callee_has_code(gi):
             from ..evm.contract import machine_inputs_for_tx
 
-            shape, _, res = machine_inputs_for_tx(gi)
+            frames: list = []
+            shape, _, res = machine_inputs_for_tx(gi, frames_out=frames)
             counts = evm_table_counts(shape, res)
+            # inner call frames prove at the same block sizes — their
+            # demand joins the max
+            for fr in frames:
+                fc = evm_table_counts(fr.shape, fr.result)
+                counts = {
+                    k: max(counts.get(k, 1), fc.get(k, 1))
+                    for k in set(counts) | set(fc)
+                }
             with_keccak = True
         else:
             pi, s, r, m = derive_pi_words(gi)
@@ -155,6 +182,7 @@ def prove_block(
     prev: Optional[ops.GeneratedBlockProof] = None,
     recursion: bool = False,
     binding_shape: Optional[object] = None,  # evm.binding.KernelShape
+    block_wrap: bool = False,
 ) -> ops.GeneratedBlockProof:
     """witness IR -> block proof (reference prover.rs:26-39).
 
@@ -175,10 +203,12 @@ def prove_block(
                 sizes = _fit_block_sizes(gen_inputs, sizes, binding_shape)
             elif sizes is None:
                 sizes = TableSizes()
-        # pre-scan: contract-call txs register their machine shapes as
-        # recursion leaf variants (ordered, deduped) BEFORE any proving —
-        # every worker rebuilds the identical variant set from the list
+        # pre-scan: contract-call txs register their machine shapes (and
+        # withdrawal dummies their credit counts) as recursion leaf
+        # variants (ordered, deduped) BEFORE any proving — every worker
+        # rebuilds the identical variant set from the lists
         evm_shapes: list = []
+        wd_counts: list = []
         if recursion:
             from ..evm.contract import machine_inputs_for_tx
 
@@ -187,6 +217,18 @@ def prove_block(
                     shape, _, _ = machine_inputs_for_tx(gi)
                     if shape not in evm_shapes:
                         evm_shapes.append(shape)
+                elif (
+                    gi.signed_txn is None
+                    and gi.withdrawals
+                    and binding_shape is not None
+                ):
+                    from ..evm.withdrawal import wd_dummy_provable
+
+                    n = len(gi.withdrawals)
+                    if n not in wd_counts and wd_dummy_provable(
+                        gi, binding_shape
+                    ):
+                        wd_counts.append(n)
         # registry tasks, not closures: the same descriptors execute
         # in-process (Runtime) or on the worker fleet (DistributedRuntime)
         leaves = runtime.run_tasks(
@@ -194,7 +236,8 @@ def prove_block(
                 ("tx_proof", dict(gi=gi, config=config, sizes=sizes,
                                   recursion=recursion,
                                   binding_shape=binding_shape,
-                                  evm_shapes=evm_shapes or None))
+                                  evm_shapes=evm_shapes or None,
+                                  wd_counts=wd_counts or None))
                 for gi in gen_inputs
             ]
         )
@@ -210,18 +253,44 @@ def prove_block(
                 with span("p_fold", leaves=len(mproofs)):
                     top, level = _fold_machine_proofs(
                         runtime, mproofs, sizes, config, evm_shapes,
-                        binding_shape,
+                        binding_shape, wd_counts,
                     )
                 bp.succinct = ops.SuccinctBlockProof(
                     top=top, level=level, sizes=sizes,
                     binding_shape=binding_shape,
                     evm_shapes=evm_shapes or None,
+                    wd_counts=wd_counts or None,
                 )
+                if block_wrap:
+                    # in-circuit parent chaining (reference block
+                    # circuit, ops/src/lib.rs:84-101): wrap the top agg
+                    # proof; chain to the parent's wrap when present
+                    from ..recursion.block import build_block_wraps
+                    from ..recursion.state import recursion_state
+
+                    rstate = recursion_state(
+                        sizes, config, binding_shape=binding_shape,
+                        evm_shapes=evm_shapes or None,
+                        wd_counts=wd_counts or None,
+                    )
+                    wraps = build_block_wraps(rstate.ladder, level, config)
+                    parent_wrap = (
+                        prev.succinct.block_wrap
+                        if prev is not None and prev.succinct is not None
+                        else None
+                    )
+                    with span("p_blockwrap"):
+                        bp.succinct.block_wrap = (
+                            wraps.prove_step(top, parent_wrap)
+                            if parent_wrap is not None
+                            else wraps.prove_base(top)
+                        )
         return bp
 
 
 def _fold_machine_proofs(
-    runtime, leaves: List, sizes, config, evm_shapes=None, binding_shape=None
+    runtime, leaves: List, sizes, config, evm_shapes=None,
+    binding_shape=None, wd_counts=None,
 ):
     """Runtime-parallel balanced fold over the recursion ladder — each
     level's pairwise agg proofs are independent tasks (the reference's
@@ -240,7 +309,8 @@ def _fold_machine_proofs(
                                      right=proofs[i + 1], sizes=sizes,
                                      config=config,
                                      binding_shape=binding_shape,
-                                     evm_shapes=evm_shapes or None))
+                                     evm_shapes=evm_shapes or None,
+                                     wd_counts=wd_counts or None))
                 for i in range(0, len(proofs), 2)
             ]
         )

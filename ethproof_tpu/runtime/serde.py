@@ -206,6 +206,8 @@ def _evm_shape_to_json(sh) -> dict:
         "calldata_len": sh.calldata_len,
         "n_skeys": sh.n_skeys,
         "log_rows": sh.log_rows,
+        "n_queries": sh.n_queries,
+        "call_shapes": [list(x) for x in sh.call_shapes],
         "log_shapes": [list(x) for x in sh.log_shapes],
     }
 
@@ -218,6 +220,10 @@ def _evm_shape_from_json(d: dict):
         calldata_len=int(d["calldata_len"]),
         n_skeys=int(d["n_skeys"]),
         log_rows=int(d["log_rows"]),
+        n_queries=int(d.get("n_queries", 0)),
+        call_shapes=tuple(
+            tuple(int(v) for v in x) for x in d.get("call_shapes", [])
+        ),
         log_shapes=tuple(tuple(x) for x in d.get("log_shapes", [])),
     )
 
@@ -254,6 +260,24 @@ def contract_proof_to_json(p) -> dict:
             if p.cb_kshape is not None
             else None
         ),
+        "inner_frames": [
+            {
+                "address": f.address.hex(),
+                "shape": _evm_shape_to_json(f.shape),
+                "machine_pi": [str(w) for w in f.machine_pi],
+                "multi": (
+                    [stark_proof_to_json(sp) for sp in f.multi.proofs]
+                    if f.multi is not None
+                    else None
+                ),
+                "root_proof": (
+                    machine_proof_to_json(f.root_proof)
+                    if f.root_proof is not None
+                    else None
+                ),
+            }
+            for f in (p.inner_frames or [])
+        ],
     }
 
 
@@ -290,6 +314,30 @@ def contract_proof_from_json(d: dict):
         ),
         cb_n_slots=int(d.get("cb_n_slots", 0)),
         cb_kshape=_kshape_from_json(d.get("cb_kshape")),
+        inner_frames=[
+            _inner_frame_from_json(f) for f in d.get("inner_frames", [])
+        ],
+    )
+
+
+def _inner_frame_from_json(f: dict):
+    from ..evm.contract import InnerFrameProof
+    from ..stark.multi import MultiProof
+
+    return InnerFrameProof(
+        address=bytes.fromhex(f["address"]),
+        shape=_evm_shape_from_json(f["shape"]),
+        machine_pi=[int(w) for w in f["machine_pi"]],
+        multi=(
+            MultiProof(proofs=[stark_proof_from_json(x) for x in f["multi"]])
+            if f.get("multi") is not None
+            else None
+        ),
+        root_proof=(
+            machine_proof_from_json(f["root_proof"])
+            if f.get("root_proof") is not None
+            else None
+        ),
     )
 
 
@@ -319,7 +367,15 @@ def aggregatable_to_json(p) -> dict:
             "state_root_after": p.state_root_after.hex(),
         }
     if isinstance(p, DummyProof):
-        return {"kind": "dummy", "gen_inputs": p.gen_inputs.to_json()}
+        return {
+            "kind": "dummy",
+            "gen_inputs": p.gen_inputs.to_json(),
+            "root_proof": (
+                machine_proof_to_json(p.root_proof)
+                if p.root_proof is not None
+                else None
+            ),
+        }
     return tx_proof_to_json(p)
 
 
@@ -337,7 +393,14 @@ def aggregatable_from_json(d: dict):
             state_root_after=bytes.fromhex(d["state_root_after"]),
         )
     if kind == "dummy":
-        return DummyProof(gen_inputs=GenerationInputs.from_json(d["gen_inputs"]))
+        return DummyProof(
+            gen_inputs=GenerationInputs.from_json(d["gen_inputs"]),
+            root_proof=(
+                machine_proof_from_json(d["root_proof"])
+                if d.get("root_proof") is not None
+                else None
+            ),
+        )
     if kind == "contract":
         return contract_proof_from_json(d)
     return tx_proof_from_json(d)
@@ -357,6 +420,7 @@ def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
             "top": machine_proof_to_json(s.top),
             "level": s.level,
             "sizes": vars(s.sizes) if s.sizes is not None else None,
+            "wd_counts": list(s.wd_counts) if s.wd_counts else None,
             "evm_shapes": (
                 [_evm_shape_to_json(sh) for sh in s.evm_shapes]
                 if s.evm_shapes
@@ -366,6 +430,17 @@ def block_proof_to_json(bp: GeneratedBlockProof) -> dict:
                 {"levels": s.binding_shape.levels,
                  "node_words": s.binding_shape.node_words}
                 if s.binding_shape is not None
+                else None
+            ),
+            "block_wrap": (
+                {
+                    "mp": machine_proof_to_json(s.block_wrap.mp),
+                    "seam": list(s.block_wrap.seam),
+                    "digest": list(s.block_wrap.digest),
+                    "e_parent": list(s.block_wrap.e_parent),
+                    "is_base": s.block_wrap.is_base,
+                }
+                if s.block_wrap is not None
                 else None
             ),
         }
@@ -390,12 +465,30 @@ def block_proof_from_json(d: dict) -> GeneratedBlockProof:
         evm_shapes = None
         if s.get("evm_shapes"):
             evm_shapes = [_evm_shape_from_json(e) for e in s["evm_shapes"]]
+        bw = None
+        if s.get("block_wrap") is not None:
+            from ..recursion.block import BlockWrapProof
+
+            w = s["block_wrap"]
+            bw = BlockWrapProof(
+                mp=machine_proof_from_json(w["mp"]),
+                seam=[int(x) for x in w["seam"]],
+                digest=[int(x) for x in w["digest"]],
+                e_parent=[int(x) for x in w["e_parent"]],
+                is_base=int(w["is_base"]),
+            )
         succinct = SuccinctBlockProof(
             top=machine_proof_from_json(s["top"]),
             level=int(s["level"]),
             sizes=TableSizes(**s["sizes"]) if s.get("sizes") is not None else None,
             binding_shape=shape,
             evm_shapes=evm_shapes,
+            block_wrap=bw,
+            wd_counts=(
+                [int(x) for x in s["wd_counts"]]
+                if s.get("wd_counts")
+                else None
+            ),
         )
     return GeneratedBlockProof(
         block_number=d["b_height"],
