@@ -743,11 +743,14 @@ class SweepExecutor:
 
     # -- execution -------------------------------------------------------------
 
-    def _run(self, head_lo, head_hi, scal_lo, scal_hi, tail_lo, tail_hi):
+    def _run(self, head_lo, head_hi, scal_lo, scal_hi, tail_lo, tail_hi,
+             sync_every: int = 0):
         """Inputs split to keep host->device traffic small: `head` are the
         (n_vec, m) LDE rows (local + next blocks), `scal` the (n_scal,)
         transcript scalars (broadcast on device), `tail` the 3 domain
-        vectors (z_last, l_first, l_last)."""
+        vectors (z_last, l_first, l_last). sync_every > 0 (eager path
+        only; must stay 0 under jit) drains the dispatch queue every
+        that many levels."""
         import jax.numpy as jnp
 
         from ..gf import field as gfp
@@ -762,7 +765,13 @@ class SweepExecutor:
             [head_hi, jnp.broadcast_to(scal_hi[:, None], (ns, m)), tail_hi]
         )
         buf = GF(in_lo, in_hi)
-        for lvl in self.levels:
+        for li, lvl in enumerate(self.levels):
+            if sync_every and li % sync_every == 0:
+                # eager-only backpressure: async dispatch would queue
+                # every level's transient buffers on the device at once
+                import jax
+
+                jax.block_until_ready((buf.lo, buf.hi))
             new_parts_lo, new_parts_hi = [], []
             for g in lvl.groups:
                 a = GF(
@@ -828,15 +837,17 @@ class SweepExecutor:
 
         if jit is None:
             jit = self.default_jit
-        fn = self._run
         if jit:
             if self._jitted is None:
                 import jax
 
                 self._jitted = jax.jit(self._run)
             fn = self._jitted
+        else:
+            sync = int(os.environ.get("ETHPROOF_SWEEP_SYNC", "16"))
+            fn = lambda *a: self._run(*a, sync_every=sync)  # noqa: E731
         m = head_gf.lo.shape[-1]
-        budget = int(os.environ.get("ETHPROOF_SWEEP_BUDGET", str(1 << 28)))
+        budget = int(os.environ.get("ETHPROOF_SWEEP_BUDGET", str(1 << 27)))
         nchunks = 1
         while self.peak_rows * (m // nchunks) > budget and (m // nchunks) > 1:
             nchunks *= 2
@@ -845,6 +856,8 @@ class SweepExecutor:
                 head_gf.lo, head_gf.hi, scal_gf.lo, scal_gf.hi,
                 tail_gf.lo, tail_gf.hi,
             )
+        import jax
+
         c = m // nchunks
         outs_lo, outs_hi = [], []
         for i in range(nchunks):
@@ -853,6 +866,10 @@ class SweepExecutor:
                 head_gf.lo[:, sl], head_gf.hi[:, sl], scal_gf.lo,
                 scal_gf.hi, tail_gf.lo[:, sl], tail_gf.hi[:, sl],
             )
+            # backpressure: async dispatch would otherwise queue every
+            # chunk's level buffers on the device at once (the HBM
+            # exhaustion mode this chunking exists to prevent)
+            jax.block_until_ready((lo, hi))
             outs_lo.append(lo)
             outs_hi.append(hi)
         return (
