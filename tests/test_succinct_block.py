@@ -33,15 +33,19 @@ from ethproof_tpu.witness.types import (
     TrieRoots,
 )
 
-# smallest viable FRI config: 1 challenge, 2 queries, no PoW. The point
-# is structural completeness of the machine-proved path, not soundness.
+# smallest viable FRI config: 1 challenge, ONE query, no PoW. The point
+# is structural completeness of the machine-proved path, not soundness —
+# and the query count drives the verifier-circuit (hence root/agg
+# machine) size, which dominates this test's multi-hour wall-clock
+# (round-5 measurement: the 2-query fixture exceeded a 3h20m solo
+# budget on the CPU tier).
 TINY = StarkConfig(
     num_challenges=1,
     fri_config=FriConfig(
         rate_bits=2,
         cap_height=0,
         proof_of_work_bits=0,
-        num_query_rounds=2,
+        num_query_rounds=1,
         arity_bits=3,
         final_poly_bits=3,
     ),
