@@ -83,8 +83,8 @@ def _partition(log_n: int) -> Tuple[int, ...]:
 
 
 @lru_cache(maxsize=32)
-def _dft_matrix_chunks(log_n: int, inverse: bool) -> np.ndarray:
-    """(8, n, n) f32: the DFT matrix W[k, i] = w^(k*i), 8-bit chunked.
+def _dft_matrix_u64(log_n: int, inverse: bool) -> np.ndarray:
+    """(n, n) u64: the DFT matrix W[k, i] = w^(k*i), canonical mod p.
 
     The 1/n iNTT scale is NOT folded in here (applied by the caller once).
     """
@@ -100,10 +100,105 @@ def _dft_matrix_chunks(log_n: int, inverse: bool) -> np.ndarray:
             rows[k, i] = val
             val = val * wk % fh.P
         wk = wk * w % fh.P
-    chunks = np.zeros((8, n, n), dtype=np.float32)
+    return rows
+
+
+@lru_cache(maxsize=32)
+def _dft_matrix_chunks(log_n: int, inverse: bool) -> np.ndarray:
+    """(8, n, n) f32: the DFT matrix, 8-bit chunked (bf16 encoding)."""
+    rows = _dft_matrix_u64(log_n, inverse)
+    chunks = np.zeros((8,) + rows.shape, dtype=np.float32)
     for c in range(8):
         chunks[c] = ((rows >> np.uint64(8 * c)) & np.uint64(0xFF)).astype(np.float32)
     return chunks
+
+
+# -- int8 encoding (MXU s8 path: 2x the bf16 rate on v5e, int32 accum) --------
+#
+# Matrix entries use BALANCED signed digits of a centered representative
+# (w, or w - p when w's unsigned digits would overflow the signed range):
+# W' = sum_c m8[c] * 2^(8c) with m8 in [-128, 127] and W' ≡ W (mod p) —
+# exact, no correction needed. Data uses OFFSET digits d8[c] =
+# ((v >> 8c) & 255) - 128, which encode v - K with K = 128 * (2^64-1)/255
+# and need no carries; the matmul then computes
+#   C_k = sum_i (v_i - K) W'_ki = T_k - K * R_k,   R_k = sum_i W'_ki,
+# so T_k ≡ C_k + K * R_k (mod p): one per-k GF constant fixes everything.
+# Signed int32 buckets are biased by _I8_BIAS before the (unsigned) limb
+# recombination; the bias total folds into the same constant. Dot lengths
+# to 2^16 stay exact in the int32 accumulator (vs 256 for bf16/f32) —
+# |product| <= 2^14, |bucket| <= 8 * n * 2^14.
+
+_K_OFF = 128 * ((1 << 64) - 1) // 255  # value the data offset-digits drop
+_I8_BIAS = 1 << 26  # makes biased buckets nonnegative (|bucket| < 2^25)
+_BIAS_TOTAL = _I8_BIAS * sum(1 << (8 * b) for b in range(15))
+
+
+def _balanced_digits_u64(rows: np.ndarray) -> np.ndarray:
+    """(..., ) u64 canonical mod p -> (8, ...) int8 balanced digits of a
+    representative ≡ rows (mod p). Entries above 0x7f7f... use w - p
+    (two's-complement wrap); the digit window [-0x8080.., 0x7f7f..] then
+    covers every representative, so the greedy mod-2^64 digit loop is
+    exact by uniqueness."""
+    thr = np.uint64(0x7F7F7F7F7F7F7F7F)
+    wrap = np.uint64((1 << 64) - fh.P)
+    u = np.where(rows > thr, rows + wrap, rows)  # u64 wraparound = w - p
+    digits = np.zeros((8,) + rows.shape, dtype=np.int8)
+    rem = u.copy()
+    for c in range(8):
+        d = (rem & np.uint64(255)).astype(np.int64)
+        db = np.where(d >= 128, d - 256, d)
+        digits[c] = db.astype(np.int8)
+        rem = (rem - db.astype(np.uint64)) >> np.uint64(8)
+    return digits
+
+
+@lru_cache(maxsize=32)
+def _dft_matrix_i8(log_n: int, inverse: bool):
+    """((8, n, n) int8 digits [c, k, i], (2, n) u32 correction GF row):
+    out_k = recombine(biased buckets) + corr_k (mod p)."""
+    rows = _dft_matrix_u64(log_n, inverse)
+    digits = _balanced_digits_u64(rows)
+    n = rows.shape[0]
+    corr = np.zeros(n, dtype=np.uint64)
+    for k in range(n):
+        r_k = int(rows[k].astype(object).sum()) % fh.P
+        corr[k] = (_K_OFF * r_k - _BIAS_TOTAL) % fh.P
+    return digits, np.stack(
+        [(corr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+         (corr >> np.uint64(32)).astype(np.uint32)]
+    )
+
+
+# NTT matmul encoding: "i8" (default — native s8 MXU matmuls, 2x the
+# bf16 rate on v5e, larger exact dot lengths) or "bf16" (the round-3
+# scheme, kept as the differential oracle / fallback).
+_ENCODING = os.environ.get("ETHPROOF_NTT_ENCODING", "i8")
+
+
+def _recombine_buckets(buckets) -> GF:
+    """value = sum_b bucket_b * 2^(8b) mod p, for 15 u32-safe buckets.
+
+    Buckets < 2^28, so the exact total can reach ~2^140 — five u32
+    limbs with full carry propagation, then fold limb 4 via
+    2^128 ≡ -2^32 (mod p); limb4 * 2^32 < p keeps the result canonical.
+    """
+    limbs = [jnp.zeros_like(buckets[0], dtype=_U32) for _ in range(5)]
+
+    def add_at(i, v):
+        carry = v
+        for j in range(i, 5):
+            limbs[j] = limbs[j] + carry
+            carry = _b2u(limbs[j] < carry)
+
+    for b in range(15):
+        v = buckets[b].astype(_U32)
+        sh = (8 * b) % 32
+        li = (8 * b) // 32
+        add_at(li, (v << sh) if sh else v)
+        if sh:
+            add_at(li + 1, v >> (32 - sh))
+    lo, hi = _reduce128(limbs[0], limbs[1], limbs[2], limbs[3])
+    return gfp.sub(GF(lo, hi), GF(jnp.zeros_like(lo), limbs[4]))
 
 
 def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
@@ -114,6 +209,8 @@ def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
     the matmul (a moveaxis-to-front formulation costs an extra HBM pass
     each way; measured 36 ms -> 23 ms per 2^24-element level on v5e).
     """
+    if _ENCODING == "i8":
+        return _field_matmul_dft_i8(a, log_n, inverse)
     n = 1 << log_n
     # 8-bit chunks are exact in bf16; MXU accumulates bf16 products in
     # f32, exact for dot lengths <= 256 (MAX_BASE_LOG cap). Native-rate
@@ -140,27 +237,36 @@ def _field_matmul_dft(a: GF, log_n: int, inverse: bool) -> GF:
         for dc in range(8):
             b = wc + dc
             buckets[b] = mi[dc] if buckets[b] is None else buckets[b] + mi[dc]
-    # recombine: value = sum_b bucket_b * 2^(8b); buckets < 2^27, so the
-    # exact total can reach ~2^139 — five u32 limbs with full carry
-    # propagation, then fold limb 4 via 2^128 ≡ -2^32 (mod p).
-    limbs = [jnp.zeros_like(buckets[0], dtype=_U32) for _ in range(5)]
+    return _recombine_buckets(buckets)
 
-    def add_at(i, v):
-        carry = v
-        for j in range(i, 5):
-            limbs[j] = limbs[j] + carry
-            carry = _b2u(limbs[j] < carry)
 
-    for b in range(15):
-        v = buckets[b].astype(_U32)
-        sh = (8 * b) % 32
-        li = (8 * b) // 32
-        add_at(li, (v << sh) if sh else v)
-        if sh:
-            add_at(li + 1, v >> (32 - sh))
-    lo, hi = _reduce128(limbs[0], limbs[1], limbs[2], limbs[3])
-    # limb4 * 2^128 ≡ -limb4 * 2^32; limb4 * 2^32 < p so GF is canonical
-    return gfp.sub(GF(lo, hi), GF(jnp.zeros_like(lo), limbs[4]))
+def _field_matmul_dft_i8(a: GF, log_n: int, inverse: bool) -> GF:
+    """int8-encoding variant of _field_matmul_dft (see _dft_matrix_i8):
+    8 native s8 MXU dots, signed int32 buckets biased into the shared
+    unsigned recombination, one GF constant-row correction."""
+    w_digits, corr = _dft_matrix_i8(log_n, inverse)
+    w8 = jnp.asarray(w_digits)  # (8, n, n) int8 indexed [wc, k, i]
+    off = jnp.int32(128)
+    d = jnp.stack(
+        [((a.lo >> (8 * c)) & _U32(0xFF)).astype(jnp.int32) - off for c in range(4)]
+        + [((a.hi >> (8 * c)) & _U32(0xFF)).astype(jnp.int32) - off for c in range(4)]
+    ).astype(jnp.int8)  # (8, ..., n) — encodes (v - K) exactly
+    nd = d.ndim
+    buckets = [None] * 15
+    for wc in range(8):
+        mi = jax.lax.dot_general(
+            d,
+            w8[wc],
+            dimension_numbers=(((nd - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (8, ..., k), exact signed int32
+        for dc in range(8):
+            b = wc + dc
+            buckets[b] = mi[dc] if buckets[b] is None else buckets[b] + mi[dc]
+    bias = jnp.int32(_I8_BIAS)
+    raw = _recombine_buckets([bk + bias for bk in buckets])
+    c_gf = GF(jnp.asarray(corr[0]), jnp.asarray(corr[1]))  # (n,) per-k
+    return gfp.add(raw, c_gf)
 
 
 def _twiddle_table(log_n1: int, log_n2: int, inverse: bool) -> GF:
