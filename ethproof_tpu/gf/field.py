@@ -258,11 +258,28 @@ def pow_const(a: GF, e: int) -> GF:
     return result
 
 
+def _inv_impl(lo, hi):
+    r = pow_const(GF(lo, hi), P - 2)
+    return r.lo, r.hi
+
+
+_inv_jit = None
+
+
 def inv(a: GF) -> GF:
     """a^(p-2). 72 squarings/muls via addition-chain-free square&multiply.
 
+    The chain runs as ONE jitted program per shape: eagerly it was ~130
+    sequential dispatches (~1 s/call on the CPU tier — the dominant term
+    of the warm per-proof floor via DEEP's denominator inversions).
+
     Zero input maps to zero (callers must guard if that matters)."""
-    return pow_const(a, P - 2)
+    global _inv_jit
+    if _inv_jit is None:
+        import jax
+
+        _inv_jit = jax.jit(_inv_impl)
+    return GF(*_inv_jit(a.lo, a.hi))
 
 
 def eq(a: GF, b: GF) -> jnp.ndarray:

@@ -57,14 +57,9 @@ def _bitrev_indices(log_n: int) -> jnp.ndarray:
     return rev
 
 
-def powers(base: GF, n: int) -> GF:
-    """[1, base, base^2, ..., base^(n-1)] via log-doubling (log2 n muls).
-
-    base: GF scalar (shape ()). Device computation — no host bignum loops.
-    """
-    assert n & (n - 1) == 0 and n >= 1
+def _powers_impl(lo, hi, n: int):
     p = gfp.ones((1,))
-    acc = base
+    acc = GF(lo, hi)
     length = 1
     while length < n:
         nxt = gfp.mul(p, GF(jnp.broadcast_to(acc.lo, (length,)),
@@ -72,7 +67,25 @@ def powers(base: GF, n: int) -> GF:
         p = gfp.concatenate([p, nxt])
         acc = gfp.mul(acc, acc)
         length *= 2
-    return p
+    return p.lo, p.hi
+
+
+_powers_jit = None
+
+
+def powers(base: GF, n: int) -> GF:
+    """[1, base, base^2, ..., base^(n-1)] via log-doubling (log2 n muls).
+
+    base: GF scalar (shape ()). Device computation — no host bignum
+    loops; jitted per length so the doubling chain is one dispatch.
+    """
+    assert n & (n - 1) == 0 and n >= 1
+    global _powers_jit
+    if _powers_jit is None:
+        import jax
+
+        _powers_jit = jax.jit(_powers_impl, static_argnums=2)
+    return GF(*_powers_jit(base.lo, base.hi, n))
 
 
 def _scalar_gf(x: int) -> GF:
